@@ -1,0 +1,18 @@
+"""Algorithm suite — one module per algorithm, each an iterative (or
+single-pass) DataFrame job built on the scatter/gather contract in
+chaos_spark.engine. Reference suite: [X13] §5.2 Table 2 / [C15] §6;
+required set per BASELINE.json north_rule: pagerank, cc, lpa, triangles.
+"""
+
+from .pagerank import pagerank
+from .cc import connected_components
+from .lpa import label_propagation
+from .triangles import triangle_count, triangle_counts_per_vertex
+
+__all__ = [
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "triangle_counts_per_vertex",
+]

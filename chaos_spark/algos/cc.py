@@ -1,0 +1,79 @@
+"""Connected components (WCC) via hash-min label propagation.
+
+Semantics ([X13] §5.2 `cc` kernel): init ``label = id``; every superstep
+each vertex takes the min of its label and its neighbors' labels over the
+undirected closure of the edge table; converged when no label changes.
+With init = id the fixed point assigns every component the minimum vertex
+id in it — which is exactly how the NetworkX oracle is normalized, so the
+match is exact.
+
+Delta optimization (frontier): only vertices whose label changed last
+superstep re-send — correct because a min that already propagated never
+needs re-sending; this is the DataFrame analogue of X-Stream's
+"algorithms that stream a shrinking update set".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..checkpoint import CheckpointManager
+from ..engine import (
+    RunResult,
+    choose_num_partitions,
+    materialize,
+    resume_or_init,
+    run_supersteps,
+)
+from ..graph import DST, ID, SRC, partition_edges, symmetrize, vertices_from_edges
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iters: int = 200,
+    num_partitions: int | None = None,
+    checkpointer: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+) -> RunResult:
+    """Hash-min WCC; result ``state`` has columns ``(id, label)`` where
+    ``label`` is the minimum vertex id of the component."""
+    und = symmetrize(edges)
+    verts = vertices_from_edges(und)
+    n = verts.count()
+    p = num_partitions or choose_num_partitions(spark, n)
+    und = partition_edges(und, p, by=SRC).persist()
+    und.count()
+
+    def init() -> DataFrame:
+        return materialize(
+            verts.select(
+                F.col(ID),
+                F.col(ID).alias("label"),
+                F.lit(True).alias("changed"),
+            ).repartition(p, F.col(ID))
+        )
+
+    state, start = resume_or_init(spark, checkpointer, init)
+
+    def step(cur: DataFrame, superstep: int):
+        frontier = cur.where(F.col("changed")).select(F.col(ID), F.col("label"))
+        msgs = und.join(frontier, und[SRC] == frontier[ID]).select(
+            F.col(DST), F.col("label")
+        )
+        mins = msgs.groupBy(DST).agg(F.min("label").alias("_ml"))
+        new = cur.join(mins, cur[ID] == mins[DST], "left").select(
+            cur[ID],
+            F.least(cur["label"], F.coalesce(F.col("_ml"), cur["label"])).alias("label"),
+            (F.col("_ml").isNotNull() & (F.col("_ml") < cur["label"])).alias("changed"),
+        )
+        new = materialize(new)
+        changed = new.where(F.col("changed")).count()
+        return new, {"converged": changed == 0, "changed": changed}
+
+    result = run_supersteps(
+        state, step, max_iters, checkpointer, checkpoint_every, start_superstep=start
+    )
+    und.unpersist()
+    result.state = result.state.select(ID, "label")
+    return result

@@ -1,0 +1,77 @@
+"""Label propagation for community detection (synchronous, deterministic).
+
+Not in X-Stream's published suite; required by the north rule
+(BASELINE.json). Semantics = classic LPA (Raghavan et al. 2007) made
+deterministic per SURVEY §2.2: init ``label = id``; each superstep EVERY
+vertex simultaneously adopts the most frequent label among its neighbors
+over the undirected closure, ties broken by the SMALLEST label; isolated
+vertices (no neighbors) keep their label. Runs a fixed number of
+supersteps (default 10) or stops early when no label changes.
+
+Gather is the two-level aggregate from SURVEY §2.2: count per
+``(dst, label)``, then pick the (max count, min label) row per dst — here
+via row_number over (cnt DESC, label ASC), which mirrors the DuckDB
+oracle SQL exactly and avoids integer-negation tricks under ANSI mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..checkpoint import CheckpointManager
+from ..engine import (
+    RunResult,
+    choose_num_partitions,
+    materialize,
+    resume_or_init,
+    run_supersteps,
+)
+from ..graph import DST, ID, SRC, partition_edges, symmetrize, vertices_from_edges
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iters: int = 10,
+    num_partitions: int | None = None,
+    checkpointer: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+) -> RunResult:
+    """Synchronous LPA; result ``state`` has columns ``(id, label)``."""
+    und = symmetrize(edges)
+    verts = vertices_from_edges(und)
+    n = verts.count()
+    p = num_partitions or choose_num_partitions(spark, n)
+    und = partition_edges(und, p, by=SRC).persist()
+    und.count()
+
+    def init() -> DataFrame:
+        return materialize(
+            verts.select(F.col(ID), F.col(ID).alias("label")).repartition(p, F.col(ID))
+        )
+
+    state, start = resume_or_init(spark, checkpointer, init)
+
+    def step(cur: DataFrame, superstep: int):
+        msgs = und.join(cur, und[SRC] == cur[ID]).select(F.col(DST), F.col("label"))
+        counts = msgs.groupBy(DST, "label").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy(DST).orderBy(F.col("cnt").desc(), F.col("label").asc())
+        best = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col(DST), F.col("label").alias("_nl"))
+        )
+        new = cur.join(best, cur[ID] == best[DST], "left").select(
+            cur[ID],
+            F.coalesce(F.col("_nl"), cur["label"]).alias("label"),
+            (F.coalesce(F.col("_nl"), cur["label"]) != cur["label"]).alias("_changed"),
+        )
+        new = materialize(new)
+        changed = new.where(F.col("_changed")).count()
+        return new.drop("_changed"), {"converged": changed == 0, "changed": changed}
+
+    result = run_supersteps(
+        state, step, max_iters, checkpointer, checkpoint_every, start_superstep=start
+    )
+    und.unpersist()
+    return result

@@ -1,0 +1,139 @@
+"""PageRank as an iterative DataFrame job.
+
+Semantics ([X13] §5.2 kernel, adjusted per SURVEY §2.2 decision log):
+``rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + dangling/N)``
+with the dangling mass (sum of ranks of out-degree-0 vertices)
+redistributed uniformly so ranks stay a probability distribution — this
+matches the NetworkX oracle exactly; X-Stream's own kernel drops the
+dangling term, a deliberate divergence documented here.
+
+Spark mapping of the superstep (SURVEY §2.1):
+  scatter  = edges JOIN state ON src==id (edge table statically hash-
+             partitioned on src once; only the small state side shuffles)
+  shuffle  = the exchange from groupBy(dst) — Spark's update routing
+  gather   = sum(m) with automatic map-side partial aggregation
+             (X-Stream's in-buffer pre-aggregation for free), optionally
+             salted two-level for hub skew ([C15] §3.2 work-stealing
+             analogue)
+  apply    = left join back + coalesce(contrib, 0) + dangling scalar
+  barrier  = localCheckpoint(eager) + one agg action that computes BOTH
+             the L-inf delta (convergence) and the next dangling mass,
+             so each superstep costs exactly one extra action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..checkpoint import CheckpointManager
+from ..engine import (
+    RunResult,
+    choose_num_partitions,
+    materialize,
+    resume_or_init,
+    run_supersteps,
+)
+from ..graph import (
+    DST,
+    ID,
+    SRC,
+    dedup_edges,
+    out_degrees,
+    partition_edges,
+    salt_edges,
+    salted_agg,
+    vertices_from_edges,
+)
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+    num_partitions: int | None = None,
+    checkpointer: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+    hub_threshold: int | None = None,
+    salt_buckets: int = 8,
+) -> RunResult:
+    """Run PageRank to L-inf convergence < ``tol``; returns RunResult whose
+    ``state`` has columns ``(id, out_degree, rank)``.
+
+    ``hub_threshold``: if set, destinations with in-degree above it are
+    salted into ``salt_buckets`` sub-keys (two-level aggregation) to absorb
+    reducer skew on hub vertices.
+    """
+    e = dedup_edges(edges)
+    verts = vertices_from_edges(e)
+    n = verts.count()
+    p = num_partitions or choose_num_partitions(spark, n)
+
+    # Static edge table: partition on the scatter join key ONCE, persist.
+    e = partition_edges(e, p, by=SRC)
+    if hub_threshold is not None:
+        e = salt_edges(e, hub_threshold, salt_buckets)
+    e = e.persist()
+    e.count()
+
+    deg = out_degrees(e)
+
+    def init() -> DataFrame:
+        return materialize(
+            verts.join(deg, verts[ID] == deg[ID], "left")
+            .select(
+                verts[ID],
+                F.coalesce(deg["out_degree"], F.lit(0)).alias("out_degree"),
+                F.lit(1.0 / n).alias("rank"),
+            )
+            .repartition(p, F.col(ID))
+        )
+
+    state, start = resume_or_init(spark, checkpointer, init)
+
+    # Dangling mass is a driver-side scalar, refreshed by the same agg that
+    # tests convergence (and computed once at init/resume).
+    row = state.agg(
+        F.sum(F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)).alias("dm")
+    ).first()
+    dangling = {"mass": float(row["dm"] or 0.0)}
+
+    def step(cur: DataFrame, superstep: int):
+        dm = dangling["mass"]
+        senders = cur.where(F.col("out_degree") > 0).select(
+            F.col(ID), (F.col("rank") / F.col("out_degree")).alias("m")
+        )
+        msgs = e.join(senders, e[SRC] == senders[ID]).select(
+            *([DST, "salt", "m"] if hub_threshold is not None else [DST, "m"])
+        )
+        if hub_threshold is not None:
+            contribs = salted_agg(msgs, "m", "sum").withColumnRenamed("m", "contrib")
+        else:
+            contribs = msgs.groupBy(DST).agg(F.sum("m").alias("contrib"))
+        new = cur.join(contribs, cur[ID] == contribs[DST], "left").select(
+            cur[ID],
+            cur["out_degree"],
+            cur["rank"].alias("_prev"),
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
+            ).alias("rank"),
+        )
+        new = materialize(new)
+        stats_row = new.agg(
+            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+            F.sum(
+                F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
+            ).alias("dm"),
+        ).first()
+        dangling["mass"] = float(stats_row["dm"] or 0.0)
+        delta = float(stats_row["delta"])
+        return new.drop("_prev"), {"converged": delta < tol, "delta": delta}
+
+    result = run_supersteps(
+        state, step, max_iters, checkpointer, checkpoint_every, start_superstep=start
+    )
+    e.unpersist()
+    return result

@@ -1,0 +1,149 @@
+"""Corpus -> import-graph extraction (vectorized, Arrow-batched).
+
+The reference ingests pre-built edge lists ([REPO] `utils/` converters);
+the north rule instead derives edges from a source-code corpus
+``source_files(repo, path, commit, lang, content)`` at 10^12-file scale by
+extracting import/include references with vectorized pandas/Arrow UDFs —
+NO per-row Python (BASELINE.json input_hint). Implementation:
+``mapInPandas`` + ``pandas.Series.str.extractall`` with one compiled
+multiline regex per language; reference resolution is a plain (broadcast-
+able at sampled tiers) equi-join on (repo, path-stem); unresolvable
+imports are dropped and countable via the returned anti-join, never a
+crash (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .graph import mint_vertex_ids
+
+# One multiline pattern per language; group 1 = dotted module, group 2 =
+# path-like reference (extension stripped during normalization).
+IMPORT_PATTERNS: dict[str, list[str]] = {
+    "python": [r"(?m)^\s*(?:from|import)\s+([\w.]+)"],
+    "c": [r'(?m)^\s*#\s*include\s+"([^"]+)"'],
+    "java": [r"(?m)^\s*import\s+(?:static\s+)?([\w.]+)\s*;"],
+    "javascript": [
+        r'(?m)\bfrom\s+["\']\./([^"\']+)["\']',
+        r'(?m)\brequire\(\s*["\']\./([^"\']+)["\']\s*\)',
+    ],
+}
+
+REF_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("src_path", StringType()),
+        StructField("dst_stem", StringType()),
+    ]
+)
+
+_STRIP_EXT = r"\.(?:py|h|hpp|c|cc|java|js|jsx|ts)$"
+
+
+def _normalize(refs: pd.Series, lang: str) -> pd.Series:
+    """Dotted module -> slash stem; path-like -> extension-stripped stem."""
+    if lang in ("python", "java"):
+        return refs.str.replace(".", "/", regex=False)
+    return refs.str.replace(_STRIP_EXT, "", regex=True)
+
+
+def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for lang, grp in pdf.groupby("lang", sort=False):
+            for pat in IMPORT_PATTERNS.get(lang, []):
+                hits = grp["content"].str.extractall(pat)
+                if hits.empty:
+                    continue
+                idx = hits.index.get_level_values(0)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "repo": grp["repo"].loc[idx].to_numpy(),
+                            "src_path": grp["path"].loc[idx].to_numpy(),
+                            "dst_stem": _normalize(hits[0], lang).to_numpy(),
+                        }
+                    )
+                )
+        yield (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame({"repo": [], "src_path": [], "dst_stem": []})
+        )
+
+
+def extract_references(corpus: DataFrame) -> DataFrame:
+    """``source_files`` -> raw references ``(repo, src_path, dst_stem)``.
+
+    Column-pruned input (only repo/path/lang/content reach Python), Arrow
+    batches in/out, vectorized regex — the hot path has no per-row Python.
+    """
+    return corpus.select("repo", "path", "lang", "content").mapInPandas(
+        _extract_batch, schema=REF_SCHEMA
+    )
+
+
+def path_index(corpus: DataFrame) -> DataFrame:
+    """(repo, stem, path) — resolution index; stems are unique per repo in
+    well-formed corpora (collisions resolve to all matches)."""
+    return corpus.select(
+        "repo",
+        F.regexp_replace("path", _STRIP_EXT, "").alias("stem"),
+        "path",
+    )
+
+
+def resolve_references(refs: DataFrame, corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Join raw references against the path index.
+
+    Returns ``(edges, unresolved)`` where edges = (repo, src_path,
+    dst_path) deduplicated and unresolved = (repo, src_path, dst_stem)
+    rows whose target does not exist (dropped, counted by the caller).
+    """
+    idx = path_index(corpus)
+    joined = refs.join(
+        idx,
+        (refs["repo"] == idx["repo"]) & (refs["dst_stem"] == idx["stem"]),
+        "left",
+    )
+    edges = (
+        joined.where(idx["path"].isNotNull())
+        .select(refs["repo"], refs["src_path"], idx["path"].alias("dst_path"))
+        .distinct()
+    )
+    unresolved = (
+        joined.where(idx["path"].isNull())
+        .select(refs["repo"], refs["src_path"], refs["dst_stem"])
+    )
+    return edges, unresolved
+
+
+def corpus_to_graph(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full pipeline: corpus -> (vertices, edges, unresolved).
+
+    vertices = (repo, path, id) with id = xxhash64(repo, path) (SURVEY
+    §1.2 id minting; callers at huge scale should run
+    ``graph.assert_no_id_collisions``); edges = (src, dst) vertex ids.
+    """
+    refs = extract_references(corpus)
+    path_edges, unresolved = resolve_references(refs, corpus)
+    vertices = mint_vertex_ids(corpus.select("repo", "path"), "repo", "path")
+    src_v = vertices.select(
+        F.col("repo").alias("r"), F.col("path").alias("p"), F.col("id").alias("src")
+    )
+    dst_v = vertices.select(
+        F.col("repo").alias("r2"), F.col("path").alias("p2"), F.col("id").alias("dst")
+    )
+    edges = (
+        path_edges.join(
+            src_v, (path_edges["repo"] == src_v["r"]) & (path_edges["src_path"] == src_v["p"])
+        )
+        .join(dst_v, (path_edges["repo"] == dst_v["r2"]) & (path_edges["dst_path"] == dst_v["p2"]))
+        .select("src", "dst")
+    )
+    return vertices, edges, unresolved

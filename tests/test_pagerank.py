@@ -1,0 +1,56 @@
+import numpy as np
+import pytest
+
+from chaos_spark.algos import pagerank
+from chaos_spark.fixtures import g1_chain, g2_star, g3_cliques, g4_powerlaw
+from tests.oracles import pagerank_oracle
+
+
+def _check(spark, edges_pdf, tol=1e-6, **kw):
+    edges = spark.createDataFrame(edges_pdf)
+    res = pagerank(spark, edges, tol=1e-9, max_iters=500, **kw)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want = pagerank_oracle(edges_pdf)
+    assert set(got) == set(want)
+    diffs = np.array([abs(got[v] - want[v]) for v in want])
+    assert diffs.max() < tol, f"max |rank diff| = {diffs.max():.2e}"
+    # ranks stay a probability distribution (dangling mass redistributed)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    return res
+
+
+def test_pagerank_chain_dangling(spark):
+    _check(spark, g1_chain())
+
+
+def test_pagerank_star_hub(spark):
+    _check(spark, g2_star())
+
+
+def test_pagerank_cliques(spark):
+    _check(spark, g3_cliques())
+
+
+def test_pagerank_powerlaw(spark):
+    _check(spark, g4_powerlaw(scale=10, num_edges=5000))
+
+
+def test_pagerank_salted_matches_unsalted(spark):
+    """Hub salting changes the physical plan, not the numbers."""
+    pdf = g2_star()
+    edges = spark.createDataFrame(pdf)
+    plain = pagerank(spark, edges, tol=1e-9, max_iters=500)
+    salted = pagerank(
+        spark, edges, tol=1e-9, max_iters=500, hub_threshold=10, salt_buckets=4
+    )
+    a = {r["id"]: r["rank"] for r in plain.state.collect()}
+    b = {r["id"]: r["rank"] for r in salted.state.collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-12
+
+
+def test_pagerank_superstep_metrics(spark):
+    res = _check(spark, g1_chain())
+    assert res.supersteps == len(res.history)
+    assert all("seconds" in h and "delta" in h for h in res.history)
