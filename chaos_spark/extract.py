@@ -89,12 +89,14 @@ def extract_references(corpus: DataFrame) -> DataFrame:
 
 
 def path_index(corpus: DataFrame) -> DataFrame:
-    """(repo, stem, path) — resolution index; stems are unique per repo in
-    well-formed corpora (collisions resolve to all matches)."""
+    """(_idx_repo, _idx_stem, _idx_path) — resolution index with private
+    column names so joining it against anything corpus-derived is never
+    ambiguous; stems are unique per repo in well-formed corpora
+    (collisions resolve to all matches)."""
     return corpus.select(
-        "repo",
-        F.regexp_replace("path", _STRIP_EXT, "").alias("stem"),
-        "path",
+        F.col("repo").alias("_idx_repo"),
+        F.regexp_replace("path", _STRIP_EXT, "").alias("_idx_stem"),
+        F.col("path").alias("_idx_path"),
     )
 
 
@@ -108,17 +110,16 @@ def resolve_references(refs: DataFrame, corpus: DataFrame) -> tuple[DataFrame, D
     idx = path_index(corpus)
     joined = refs.join(
         idx,
-        (refs["repo"] == idx["repo"]) & (refs["dst_stem"] == idx["stem"]),
+        (refs["repo"] == idx["_idx_repo"]) & (refs["dst_stem"] == idx["_idx_stem"]),
         "left",
     )
     edges = (
-        joined.where(idx["path"].isNotNull())
-        .select(refs["repo"], refs["src_path"], idx["path"].alias("dst_path"))
+        joined.where(F.col("_idx_path").isNotNull())
+        .select("repo", "src_path", F.col("_idx_path").alias("dst_path"))
         .distinct()
     )
-    unresolved = (
-        joined.where(idx["path"].isNull())
-        .select(refs["repo"], refs["src_path"], refs["dst_stem"])
+    unresolved = joined.where(F.col("_idx_path").isNull()).select(
+        "repo", "src_path", "dst_stem"
     )
     return edges, unresolved
 
