@@ -8,6 +8,8 @@ from .pagerank import pagerank
 from .cc import connected_components
 from .lpa import label_propagation
 from .triangles import triangle_count, triangle_counts_per_vertex
+from .bfs import bfs, sssp
+from .kcores import k_core
 
 __all__ = [
     "pagerank",
@@ -15,4 +17,7 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "triangle_counts_per_vertex",
+    "bfs",
+    "sssp",
+    "k_core",
 ]

@@ -1,0 +1,54 @@
+"""K-core decomposition by iterative peeling ([X13] §5.2 `kcores.hpp`).
+
+Repeatedly drop vertices whose degree in the surviving subgraph is < k;
+the fixed point is the k-core. Result: the set of vertices in the k-core
+(``in_core`` flag over all vertices). Runs on the undirected closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine import RunResult, choose_num_partitions, materialize, run_supersteps
+from ..graph import DST, ID, SRC, partition_edges, symmetrize, vertices_from_edges
+
+
+def k_core(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 100,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Vertices of the k-core; result state ``(id, in_core boolean)``."""
+    und = symmetrize(edges).where(F.col(SRC) != F.col(DST))
+    verts = vertices_from_edges(und)
+    n = verts.count()
+    p = num_partitions or choose_num_partitions(spark, n)
+    und = partition_edges(und, p, by=SRC).persist()
+    und.count()
+
+    state = materialize(verts.select(F.col(ID), F.lit(True).alias("in_core")))
+
+    def step(cur: DataFrame, superstep: int):
+        alive = cur.where(F.col("in_core")).select(ID)
+        a_src = alive.select(F.col(ID).alias(SRC))
+        a_dst = alive.select(F.col(ID).alias(DST))
+        deg = (
+            und.join(a_src, SRC)
+            .join(a_dst, DST)
+            .groupBy(F.col(SRC).alias(ID))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        survivors = deg.where(F.col("deg") >= k).select(ID)
+        new = cur.select(ID).join(
+            survivors.withColumn("_s", F.lit(True)), ID, "left"
+        ).select(F.col(ID), F.coalesce(F.col("_s"), F.lit(False)).alias("in_core"))
+        new = materialize(new)
+        before = cur.where(F.col("in_core")).count()
+        after = new.where(F.col("in_core")).count()
+        return new, {"converged": before == after, "alive": after}
+
+    result = run_supersteps(state, step, max_iters)
+    und.unpersist()
+    return result

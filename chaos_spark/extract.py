@@ -83,6 +83,9 @@ def extract_references(corpus: DataFrame) -> DataFrame:
     Column-pruned input (only repo/path/lang/content reach Python), Arrow
     batches in/out, vectorized regex — the hot path has no per-row Python.
     """
+    from .shipping import ensure_shipped
+
+    ensure_shipped(corpus.sparkSession)
     return corpus.select("repo", "path", "lang", "content").mapInPandas(
         _extract_batch, schema=REF_SCHEMA
     )

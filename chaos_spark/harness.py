@@ -1,0 +1,512 @@
+"""Driver-harness queries + DuckDB oracle SQL (SURVEY §5.2 item 5).
+
+The driver runs each ``queries()[name]`` (PySpark) against
+``oracle_sql()[name]`` (DuckDB) on the same parquet tables and compares
+row count + schema + order-insensitive value hash. Chaos has no SQL
+surface (SURVEY §2.4), so the graph operators are rendered here as
+FIXED-k superstep jobs over edge views derivable in both engines, with
+the oracle SQL generated programmatically as unrolled CTE chains — one
+CTE pair per superstep, the exact image of the Spark plan.
+
+Edge views over the TPC-H-ish driver tables:
+- ``part_edges``   — directed part-adjacency: parts on consecutive line
+  numbers of the same order (sparse, ~2k vertices / ~29k edges at
+  sf0.01); used for degree/CC/LPA/triangles/k-core.
+- ``cust_supp_edges`` — bipartite customer -> supplier (suppliers offset
+  by 10^7 to keep id spaces disjoint); suppliers are dangling vertices,
+  exercising PageRank's dangling-mass redistribution; used for
+  PageRank/BFS/SpMV.
+
+Fixed-k equivalence note: the Spark jobs may stop EARLY when a superstep
+changes nothing — legal because a converged state is a fixed point of
+the update, so the unrolled-k SQL yields the identical result. PageRank
+runs with tol=0 so both sides execute exactly k supersteps.
+
+Float hashing note: every floating-point aggregate is ROUNDed identically
+on both sides (6 decimals for ranks/ratios, 2 for money sums) so
+summation-order ulp noise cannot break the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .algos import (
+    connected_components,
+    k_core,
+    label_propagation,
+    pagerank,
+    sssp,
+)
+from .algos.spmv import spmv
+
+SUPP_OFFSET = 10_000_000
+D = 0.85  # damping
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Edge views — Spark side
+# ---------------------------------------------------------------------------
+
+def part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+def cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edge views — SQL side
+# ---------------------------------------------------------------------------
+
+SQL_PART_EDGES = """
+SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey
+ AND a.l_linenumber + 1 = b.l_linenumber
+ AND a.l_partkey <> b.l_partkey
+""".strip()
+
+SQL_CUST_SUPP_EDGES = f"""
+SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {SUPP_OFFSET} AS dst
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+""".strip()
+
+_UND = "SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges"
+_VERTS = (
+    "SELECT DISTINCT id FROM "
+    "(SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges) _tv"
+)
+
+
+def _with(parts: list[str], final: str) -> str:
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generators — unrolled superstep CTE chains
+# ---------------------------------------------------------------------------
+
+def pagerank_sql(edges_sql: str, k: int, d: float = D) -> str:
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"verts AS ({_VERTS})",
+        "deg AS (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "st0 AS (SELECT v.id, COALESCE(d.od, 0) AS od,"
+        " CAST(1 AS DOUBLE)/(SELECT n FROM nn) AS rank"
+        " FROM verts v LEFT JOIN deg d USING(id))",
+    ]
+    for i in range(k):
+        parts.append(
+            f"dang{i} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm"
+            f" FROM st{i} WHERE od = 0)"
+        )
+        parts.append(
+            f"con{i} AS (SELECT e.dst AS id, SUM(s.rank / s.od) AS c"
+            f" FROM edges e JOIN st{i} s ON e.src = s.id AND s.od > 0"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"st{i + 1} AS (SELECT s.id, s.od,"
+            f" CAST({(1.0 - d)!r} AS DOUBLE)/(SELECT n FROM nn)"
+            f" + CAST({d!r} AS DOUBLE) * (COALESCE(c.c, CAST(0 AS DOUBLE))"
+            f" + (SELECT dm FROM dang{i})/(SELECT n FROM nn)) AS rank"
+            f" FROM st{i} s LEFT JOIN con{i} c USING(id))"
+        )
+    return _with(parts, f"SELECT id, ROUND(rank, 6) AS rank FROM st{k}")
+
+
+def cc_sql(edges_sql: str, k: int) -> str:
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"und AS ({_UND})",
+        "st0 AS (SELECT DISTINCT src AS id, src AS label FROM und)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"m{i} AS (SELECT e.dst AS id, MIN(s.label) AS ml"
+            f" FROM und e JOIN st{i} s ON e.src = s.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"st{i + 1} AS (SELECT s.id,"
+            f" LEAST(s.label, COALESCE(m.ml, s.label)) AS label"
+            f" FROM st{i} s LEFT JOIN m{i} m USING(id))"
+        )
+    return _with(parts, f"SELECT id, label FROM st{k}")
+
+
+def lpa_sql(edges_sql: str, k: int) -> str:
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"und AS ({_UND})",
+        "st0 AS (SELECT DISTINCT src AS id, src AS label FROM und)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS id, s.label AS label, COUNT(*) AS cnt"
+            f" FROM und e JOIN st{i} s ON e.src = s.id GROUP BY e.dst, s.label)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT id, label FROM (SELECT id, label,"
+            f" ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn"
+            f" FROM c{i}) _r{i} WHERE rn = 1)"
+        )
+        parts.append(
+            f"st{i + 1} AS (SELECT s.id, COALESCE(b.label, s.label) AS label"
+            f" FROM st{i} s LEFT JOIN b{i} b USING(id))"
+        )
+    return _with(parts, f"SELECT id, label FROM st{k}")
+
+
+def triangle_count_sql(edges_sql: str) -> str:
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"und AS ({_UND})",
+        "cane AS (SELECT src AS u, dst AS v FROM und WHERE src < dst)",
+    ]
+    return _with(
+        parts,
+        "SELECT CAST(COUNT(*) AS BIGINT) AS triangles"
+        " FROM cane e1 JOIN cane e2 ON e2.u = e1.v"
+        " JOIN cane e3 ON e3.u = e1.u AND e3.v = e2.v",
+    )
+
+
+def triangles_per_vertex_sql(edges_sql: str) -> str:
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"und AS ({_UND})",
+        "cane AS (SELECT src AS u, dst AS v FROM und WHERE src < dst)",
+        "tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z"
+        " FROM cane e1 JOIN cane e2 ON e2.u = e1.v"
+        " JOIN cane e3 ON e3.u = e1.u AND e3.v = e2.v)",
+        "corners AS (SELECT x AS id FROM tri UNION ALL"
+        " SELECT y FROM tri UNION ALL SELECT z FROM tri)",
+        "cnt AS (SELECT id, COUNT(*) AS c FROM corners GROUP BY id)",
+        "verts AS (SELECT DISTINCT src AS id FROM und)",
+    ]
+    return _with(
+        parts,
+        "SELECT v.id, CAST(COALESCE(c.c, 0) AS BIGINT) AS triangles"
+        " FROM verts v LEFT JOIN cnt c USING(id)",
+    )
+
+
+def bfs_sql(edges_sql: str, k: int) -> str:
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"verts AS ({_VERTS})",
+        "rt AS (SELECT MIN(src) AS r FROM edges)",
+        "st0 AS (SELECT id, CASE WHEN id = (SELECT r FROM rt)"
+        " THEN CAST(0 AS DOUBLE) END AS dist FROM verts)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"m{i} AS (SELECT e.dst AS id, MIN(s.dist + CAST(1 AS DOUBLE)) AS nd"
+            f" FROM edges e JOIN st{i} s ON e.src = s.id AND s.dist IS NOT NULL"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"st{i + 1} AS (SELECT s.id, LEAST(s.dist, m.nd) AS dist"
+            f" FROM st{i} s LEFT JOIN m{i} m USING(id))"
+        )
+    return _with(parts, f"SELECT id, dist FROM st{k}")
+
+
+def kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"und AS ({_UND} )",
+        "und2 AS (SELECT src, dst FROM und WHERE src <> dst)",
+        "alive0 AS (SELECT DISTINCT src AS id FROM und2)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"deg{i} AS (SELECT e.src AS id, COUNT(*) AS d FROM und2 e"
+            f" JOIN alive{i} a ON e.src = a.id"
+            f" JOIN alive{i} b ON e.dst = b.id GROUP BY e.src)"
+        )
+        parts.append(f"alive{i + 1} AS (SELECT id FROM deg{i} WHERE d >= {k})")
+    return _with(
+        parts,
+        f"SELECT v.id, (a.id IS NOT NULL) AS in_core"
+        f" FROM alive0 v LEFT JOIN alive{rounds} a USING(id)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark query functions (signature: (spark, sf_dir) -> DataFrame)
+# ---------------------------------------------------------------------------
+
+def q_out_degree(spark, sf_dir):
+    e = part_edges(spark, sf_dir)
+    return e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+
+
+def q_in_degree(spark, sf_dir):
+    e = cust_supp_edges(spark, sf_dir)
+    return e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+
+
+def q_pagerank_k5(spark, sf_dir):
+    e = cust_supp_edges(spark, sf_dir)
+    res = pagerank(spark, e, damping=D, tol=0.0, max_iters=5)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_cc_k6(spark, sf_dir):
+    e = part_edges(spark, sf_dir)
+    res = connected_components(spark, e, max_iters=6)
+    return res.state.select("id", "label")
+
+
+def q_lpa_k3(spark, sf_dir):
+    e = part_edges(spark, sf_dir)
+    res = label_propagation(spark, e, max_iters=3)
+    return res.state.select("id", "label")
+
+
+def q_triangle_count(spark, sf_dir):
+    from .algos import triangle_count
+
+    n = triangle_count(spark, part_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "triangles long")
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    from .algos import triangle_counts_per_vertex
+
+    return triangle_counts_per_vertex(spark, part_edges(spark, sf_dir))
+
+
+def q_bfs_k4(spark, sf_dir):
+    e = cust_supp_edges(spark, sf_dir)
+    root = e.agg(F.min("src")).first()[0]
+    res = sssp(spark, e, root=int(root), max_iters=4)
+    return res.state.select("id", "dist")
+
+
+def q_kcore3(spark, sf_dir):
+    e = part_edges(spark, sf_dir)
+    res = k_core(spark, e, k=3, max_iters=3)
+    return res.state.select("id", "in_core")
+
+
+def q_spmv_acctbal(spark, sf_dir):
+    e = cust_supp_edges(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("x")
+    )
+    return spmv(spark, e, cust).select("id", F.round("y", 2).alias("y"))
+
+
+SQL_SPMV = f"""
+WITH edges AS ({SQL_CUST_SUPP_EDGES})
+SELECT e.dst AS id, ROUND(SUM(c.c_acctbal), 2) AS y
+FROM edges e JOIN customer c ON e.src = c.c_custkey
+GROUP BY e.dst
+""".strip()
+
+
+# --- training-data pipeline operators over documents/embeddings -----------
+
+def q_dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id")
+    )
+
+
+SQL_DEDUP = """
+SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""".strip()
+
+
+def q_token_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents
+""".strip()
+
+
+def q_quality_score(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    return d.select(
+        "doc_id",
+        F.round(alpha.cast("double") / F.length("text"), 6).alias("alpha_ratio"),
+        F.round(space.cast("double") / F.length("text"), 6).alias("space_ratio"),
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+  ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+  ROUND(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / length(text), 6) AS space_ratio
+FROM documents
+""".strip()
+
+
+def q_lang_dist(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+SQL_LANG_DIST = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+FROM documents GROUP BY lang
+""".strip()
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 around vec_id = 0 — the exact baseline for
+    approximate-nearest-neighbor search; all math in float64, JVM-side."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    nq = float(sum(float(x) * float(x) for x in qv)) ** 0.5
+    sim = F.round(dot / (nv * F.lit(nq)), 6)
+    return (
+        emb.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id,
+         ROUND(
+           list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q))
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))),
+           6) AS cos_sim
+  FROM embeddings
+)
+SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+""".strip()
+
+
+# --- rows-only queries (non-SQL-expressible at convergence) ----------------
+
+def q_pagerank_converged(spark, sf_dir):
+    """Full PageRank to 1e-6 L-inf convergence — the real operator; no SQL
+    oracle (unbounded iteration), driver records a rows-only check."""
+    e = cust_supp_edges(spark, sf_dir)
+    res = pagerank(spark, e, tol=1e-6, max_iters=100)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_import_graph_edges(spark, sf_dir):
+    """End-to-end corpus -> import-graph pipeline (north-rule input shape):
+    deterministic corpus, vectorized extraction, id minting. Rows-only."""
+    from .extract import corpus_to_graph
+    from .fixtures import gen_source_files
+
+    corpus = gen_source_files(n_rows=400, seed=42)
+    df = spark.createDataFrame(corpus.files)
+    _, edges, _ = corpus_to_graph(df)
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "out_degree": q_out_degree,
+    "in_degree": q_in_degree,
+    "pagerank_k5": q_pagerank_k5,
+    "cc_k6": q_cc_k6,
+    "lpa_k3": q_lpa_k3,
+    "triangle_count": q_triangle_count,
+    "triangles_per_vertex": q_triangles_per_vertex,
+    "bfs_k4": q_bfs_k4,
+    "kcore3": q_kcore3,
+    "spmv_acctbal": q_spmv_acctbal,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_dist": q_lang_dist,
+    "ann_topk": q_ann_topk,
+    "pagerank_converged": q_pagerank_converged,
+    "import_graph_edges": q_import_graph_edges,
+}
+
+ORACLES = {
+    "out_degree": _with(
+        [f"edges AS ({SQL_PART_EDGES})"],
+        "SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_degree FROM edges GROUP BY src",
+    ),
+    "in_degree": _with(
+        [f"edges AS ({SQL_CUST_SUPP_EDGES})"],
+        "SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS in_degree FROM edges GROUP BY dst",
+    ),
+    "pagerank_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
+    "cc_k6": cc_sql(SQL_PART_EDGES, 6),
+    "lpa_k3": lpa_sql(SQL_PART_EDGES, 3),
+    "triangle_count": triangle_count_sql(SQL_PART_EDGES),
+    "triangles_per_vertex": triangles_per_vertex_sql(SQL_PART_EDGES),
+    "bfs_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),
+    "kcore3": kcore_sql(SQL_PART_EDGES, 3, 3),
+    "spmv_acctbal": SQL_SPMV,
+    "dedup_exact": SQL_DEDUP,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_score": SQL_QUALITY,
+    "lang_dist": SQL_LANG_DIST,
+    "ann_topk": SQL_ANN_TOPK,
+    # pagerank_converged, import_graph_edges: rows-only (no SQL oracle)
+}
