@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""chaos_spark benchmark driver.
+
+Default mode (what the round driver runs):
+    python bench.py
+  runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+  /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and
+  prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling mode (BASELINE.md sandbox protocol — the north rule's N vs 4N
+executor criterion, proxied by two parallelism levels on one host):
+    python bench.py --scaling [--scale 20 --edges 16000000]
+  builds the G4-large RMAT edge table once (persisted parquet so both
+  runs scan the same bytes), runs the identical fixed-superstep PageRank
+  job at local[8] and local[32] with identical shuffle partitioning,
+  reports supersteps/sec + edges/sec at both plus
+  efficiency = (thr_32 / thr_8) / 4, and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from chaos_spark import harness  # noqa: E402
+from chaos_spark.algos import (  # noqa: E402
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from chaos_spark.session import get_spark  # noqa: E402
+
+BENCH_DATA = os.environ.get("CHAOS_BENCH_DATA", "/tmp/chaos_bench")
+
+
+def _session(cpus: int, shuffle: int | None = None) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    return get_spark(
+        f"chaos-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle or cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("CHAOS_SPARK_DRIVER_MEM", "32g")},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Default mode — headline queries at the sf dir
+# ---------------------------------------------------------------------------
+
+def run_default(sf_dir: str, cpus: int) -> dict:
+    spark = _session(cpus)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # PageRank to 1e-6 convergence on the customer->supplier graph —
+    # the north-star metric; record supersteps + edges/sec too.
+    e_cs = harness.cust_supp_edges(spark, sf_dir).persist()
+    n_edges_cs = e_cs.count()
+    t0 = time.time()
+    pr = pagerank(spark, e_cs, tol=1e-6, max_iters=100)
+    pr_sec = time.time() - t0
+    timings["pagerank_conv"] = round(pr_sec, 3)
+    extras["pagerank_supersteps"] = pr.supersteps
+    extras["pagerank_supersteps_per_sec"] = round(pr.supersteps / pr_sec, 4)
+    extras["pagerank_edges_per_sec"] = round(n_edges_cs * pr.supersteps / pr_sec, 1)
+
+    e_part = harness.part_edges(spark, sf_dir).persist()
+    e_part.count()
+    timed("cc_conv", lambda: connected_components(spark, e_part, max_iters=100))
+    timed("lpa_10", lambda: label_propagation(spark, e_part, max_iters=10))
+    timed("triangles", lambda: triangle_count(spark, e_part))
+    timed("degree", lambda: harness.q_out_degree(spark, sf_dir).count())
+    timed("spmv", lambda: harness.q_spmv_acctbal(spark, sf_dir).count())
+    timed("extract_2k", lambda: harness.q_import_graph_edges(spark, sf_dir).count())
+    timed("dedup_exact", lambda: harness.q_dedup_exact(spark, sf_dir).count())
+    timed("ann_topk", lambda: harness.q_ann_topk(spark, sf_dir).count())
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "extras": extras,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Scaling mode — BASELINE.md protocol
+# ---------------------------------------------------------------------------
+
+def _ensure_bench_graph(scale: int, num_edges: int, seed: int = 42) -> str:
+    path = os.path.join(BENCH_DATA, f"rmat_s{scale}_e{num_edges}_seed{seed}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from chaos_spark.generators import rmat_edges_spark
+
+        spark = _session(32)
+        rmat_edges_spark(spark, scale, num_edges, seed=seed, num_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _pagerank_throughput(
+    cpus: int, path: str, supersteps: int, shuffle: int, warmup_steps: int = 2
+) -> dict:
+    spark = _session(cpus, shuffle=shuffle)
+    edges = spark.read.parquet(path)
+    n_edges = edges.count()
+    # warm-up (JIT, shuffle services, page cache)
+    pagerank(spark, edges, tol=0.0, max_iters=warmup_steps, num_partitions=shuffle)
+    t0 = time.time()
+    res = pagerank(spark, edges, tol=0.0, max_iters=supersteps, num_partitions=shuffle)
+    wall = time.time() - t0
+    assert res.supersteps == supersteps
+    return {
+        "cpus": cpus,
+        "edges": n_edges,
+        "supersteps": supersteps,
+        "wall_sec": round(wall, 2),
+        "supersteps_per_sec": round(supersteps / wall, 4),
+        "edges_per_sec": round(n_edges * supersteps / wall, 1),
+    }
+
+
+def run_scaling(scale: int, num_edges: int, supersteps: int, lo: int, hi: int) -> dict:
+    path = _ensure_bench_graph(scale, num_edges)
+    shuffle = hi * 2  # pinned to the larger run for BOTH (BASELINE.md §3.2)
+    r_lo = _pagerank_throughput(lo, path, supersteps, shuffle)
+    r_hi = _pagerank_throughput(hi, path, supersteps, shuffle)
+    eff = (r_hi["edges_per_sec"] / r_lo["edges_per_sec"]) / (hi / lo)
+    out = {
+        "graph": {"scale": scale, "edges": num_edges, "path": path},
+        "shuffle_partitions": shuffle,
+        "runs": {f"local[{lo}]": r_lo, f"local[{hi}]": r_hi},
+        "scaling_efficiency": round(eff, 4),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    _write_baseline_md(out, lo, hi)
+    return out
+
+
+def _write_baseline_md(out: dict, lo: int, hi: int) -> None:
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    rl, rh = out["runs"][f"local[{lo}]"], out["runs"][f"local[{hi}]"]
+    with open(p, "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — two-parallelism scaling run (BASELINE.md protocol)
+
+Proxy for the north rule's N vs 4N executor criterion: the identical
+fixed-superstep PageRank job on the identical persisted RMAT edge table at
+two parallelism levels, shuffle partitions pinned to {out['shuffle_partitions']} for both,
+with a warm-up run before each timed run.
+
+| config | graph edges | supersteps | wall (s) | supersteps/sec | edges/sec |
+|---|---|---|---|---|---|
+| local[{lo}] | {rl['edges']:,} | {rl['supersteps']} | {rl['wall_sec']} | {rl['supersteps_per_sec']} | {rl['edges_per_sec']:,} |
+| local[{hi}] | {rh['edges']:,} | {rh['supersteps']} | {rh['wall_sec']} | {rh['supersteps_per_sec']} | {rh['edges_per_sec']:,} |
+
+**Scaling efficiency = (thr[{hi}] / thr[{lo}]) / {hi // lo} = {out['scaling_efficiency']}**
+(target >= 0.8: {"PASS" if out['pass'] else "FAIL"})
+
+Graph: seeded RMAT scale={out['graph']['scale']} (FIXTURES.md G4-large recipe),
+persisted once at `{out['graph']['path']}` so both runs scan the same bytes.
+"""
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale", type=int, default=20)
+    ap.add_argument("--edges", type=int, default=16_000_000)
+    ap.add_argument("--supersteps", type=int, default=10)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    args = ap.parse_args()
+    if args.scaling:
+        out = run_scaling(args.scale, args.edges, args.supersteps, args.lo, args.hi)
+    else:
+        out = run_default(args.sf_dir, args.cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

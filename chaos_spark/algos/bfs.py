@@ -22,6 +22,7 @@ from ..engine import (
     materialize,
     resume_or_init,
     run_supersteps,
+    superstep_conf,
 )
 from ..graph import DST, ID, SRC, dedup_edges, partition_edges, symmetrize, vertices_from_edges
 
@@ -39,6 +40,20 @@ def sssp(
 ) -> RunResult:
     """Single-source shortest paths; result state ``(id, dist)`` with NULL
     dist for unreachable vertices. ``weight_col=None`` -> BFS (w = 1)."""
+    p = num_partitions or choose_num_partitions(
+        spark, edges.count() * (2 if symmetric else 1)
+    )
+    with superstep_conf(spark, p):
+        return _sssp(
+            spark, edges, root, weight_col, symmetric, max_iters, p,
+            checkpointer, checkpoint_every,
+        )
+
+
+def _sssp(
+    spark, edges, root, weight_col, symmetric, max_iters, p,
+    checkpointer, checkpoint_every,
+) -> RunResult:
     if weight_col is None:
         e = dedup_edges(edges).withColumn("w", F.lit(1.0))
     else:
@@ -47,8 +62,6 @@ def sssp(
         rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
         e = e.union(rev)
     verts = vertices_from_edges(e)
-    n = verts.count()
-    p = num_partitions or choose_num_partitions(spark, n)
     e = partition_edges(e, p, by=SRC).persist()
     e.count()
 
@@ -85,7 +98,7 @@ def sssp(
             F.when(F.col("_d") != float("inf"), F.col("_d")).alias("dist"),
             F.col("changed"),
         )
-        new = materialize(new)
+        new = materialize(new, superstep)
         relaxed = new.where(F.col("changed")).count()
         return new, {"converged": relaxed == 0, "changed": relaxed}
 

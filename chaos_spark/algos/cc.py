@@ -24,6 +24,7 @@ from ..engine import (
     materialize,
     resume_or_init,
     run_supersteps,
+    superstep_conf,
 )
 from ..graph import DST, ID, SRC, partition_edges, symmetrize, vertices_from_edges
 
@@ -38,10 +39,14 @@ def connected_components(
 ) -> RunResult:
     """Hash-min WCC; result ``state`` has columns ``(id, label)`` where
     ``label`` is the minimum vertex id of the component."""
+    p = num_partitions or choose_num_partitions(spark, edges.count() * 2)
+    with superstep_conf(spark, p):
+        return _cc(spark, edges, max_iters, p, checkpointer, checkpoint_every)
+
+
+def _cc(spark, edges, max_iters, p, checkpointer, checkpoint_every) -> RunResult:
     und = symmetrize(edges)
     verts = vertices_from_edges(und)
-    n = verts.count()
-    p = num_partitions or choose_num_partitions(spark, n)
     und = partition_edges(und, p, by=SRC).persist()
     und.count()
 
@@ -67,7 +72,7 @@ def connected_components(
             F.least(cur["label"], F.coalesce(F.col("_ml"), cur["label"])).alias("label"),
             (F.col("_ml").isNotNull() & (F.col("_ml") < cur["label"])).alias("changed"),
         )
-        new = materialize(new)
+        new = materialize(new, superstep)
         changed = new.where(F.col("changed")).count()
         return new, {"converged": changed == 0, "changed": changed}
 

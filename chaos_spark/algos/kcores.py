@@ -9,7 +9,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..engine import RunResult, choose_num_partitions, materialize, run_supersteps
+from ..engine import (
+    RunResult,
+    choose_num_partitions,
+    materialize,
+    run_supersteps,
+    superstep_conf,
+)
 from ..graph import DST, ID, SRC, partition_edges, symmetrize, vertices_from_edges
 
 
@@ -21,10 +27,14 @@ def k_core(
     num_partitions: int | None = None,
 ) -> RunResult:
     """Vertices of the k-core; result state ``(id, in_core boolean)``."""
+    p = num_partitions or choose_num_partitions(spark, edges.count() * 2)
+    with superstep_conf(spark, p):
+        return _k_core(spark, edges, k, max_iters, p)
+
+
+def _k_core(spark, edges, k, max_iters, p) -> RunResult:
     und = symmetrize(edges).where(F.col(SRC) != F.col(DST))
     verts = vertices_from_edges(und)
-    n = verts.count()
-    p = num_partitions or choose_num_partitions(spark, n)
     und = partition_edges(und, p, by=SRC).persist()
     und.count()
 
@@ -44,7 +54,7 @@ def k_core(
         new = cur.select(ID).join(
             survivors.withColumn("_s", F.lit(True)), ID, "left"
         ).select(F.col(ID), F.coalesce(F.col("_s"), F.lit(False)).alias("in_core"))
-        new = materialize(new)
+        new = materialize(new, superstep)
         before = cur.where(F.col("in_core")).count()
         after = new.where(F.col("in_core")).count()
         return new, {"converged": before == after, "alive": after}

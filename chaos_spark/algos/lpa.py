@@ -25,6 +25,7 @@ from ..engine import (
     materialize,
     resume_or_init,
     run_supersteps,
+    superstep_conf,
 )
 from ..graph import DST, ID, SRC, partition_edges, symmetrize, vertices_from_edges
 
@@ -38,10 +39,14 @@ def label_propagation(
     checkpoint_every: int = 5,
 ) -> RunResult:
     """Synchronous LPA; result ``state`` has columns ``(id, label)``."""
+    p = num_partitions or choose_num_partitions(spark, edges.count() * 2)
+    with superstep_conf(spark, p):
+        return _lpa(spark, edges, max_iters, p, checkpointer, checkpoint_every)
+
+
+def _lpa(spark, edges, max_iters, p, checkpointer, checkpoint_every) -> RunResult:
     und = symmetrize(edges)
     verts = vertices_from_edges(und)
-    n = verts.count()
-    p = num_partitions or choose_num_partitions(spark, n)
     und = partition_edges(und, p, by=SRC).persist()
     und.count()
 
@@ -66,12 +71,13 @@ def label_propagation(
             F.coalesce(F.col("_nl"), cur["label"]).alias("label"),
             (F.coalesce(F.col("_nl"), cur["label"]) != cur["label"]).alias("_changed"),
         )
-        new = materialize(new)
+        new = materialize(new, superstep)
         changed = new.where(F.col("_changed")).count()
-        return new.drop("_changed"), {"converged": changed == 0, "changed": changed}
+        return new, {"converged": changed == 0, "changed": changed}
 
     result = run_supersteps(
         state, step, max_iters, checkpointer, checkpoint_every, start_superstep=start
     )
     und.unpersist()
+    result.state = result.state.select(ID, "label")
     return result

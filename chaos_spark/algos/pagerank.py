@@ -32,6 +32,7 @@ from ..engine import (
     materialize,
     resume_or_init,
     run_supersteps,
+    superstep_conf,
 )
 from ..graph import (
     DST,
@@ -65,10 +66,21 @@ def pagerank(
     salted into ``salt_buckets`` sub-keys (two-level aggregation) to absorb
     reducer skew on hub vertices.
     """
+    p = num_partitions or choose_num_partitions(spark, edges.count())
+    with superstep_conf(spark, p):
+        return _pagerank(
+            spark, edges, damping, tol, max_iters, p, checkpointer,
+            checkpoint_every, hub_threshold, salt_buckets,
+        )
+
+
+def _pagerank(
+    spark, edges, damping, tol, max_iters, p, checkpointer,
+    checkpoint_every, hub_threshold, salt_buckets,
+) -> RunResult:
     e = dedup_edges(edges)
     verts = vertices_from_edges(e)
     n = verts.count()
-    p = num_partitions or choose_num_partitions(spark, n)
 
     # Static edge table: partition on the scatter join key ONCE, persist.
     e = partition_edges(e, p, by=SRC)
@@ -121,7 +133,7 @@ def pagerank(
                 * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
             ).alias("rank"),
         )
-        new = materialize(new)
+        new = materialize(new, superstep)
         stats_row = new.agg(
             F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
             F.sum(
@@ -130,10 +142,13 @@ def pagerank(
         ).first()
         dangling["mass"] = float(stats_row["dm"] or 0.0)
         delta = float(stats_row["delta"])
-        return new.drop("_prev"), {"converged": delta < tol, "delta": delta}
+        # return the cached frame itself (unpersist must hit the cache);
+        # `_prev` is ignored by the next superstep and dropped at the end
+        return new, {"converged": delta < tol, "delta": delta}
 
     result = run_supersteps(
         state, step, max_iters, checkpointer, checkpoint_every, start_superstep=start
     )
     e.unpersist()
+    result.state = result.state.select(ID, "out_degree", "rank")
     return result

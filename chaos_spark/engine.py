@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -34,27 +35,68 @@ from .checkpoint import CheckpointManager
 StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict[str, Any]]]
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Superstep barrier: eagerly materialize and truncate lineage."""
-    return df.localCheckpoint(eager=True)
+def materialize(df: DataFrame, superstep: int | None = None) -> DataFrame:
+    """Superstep barrier + lineage truncation, costing ZERO extra jobs.
+
+    LAZY ``localCheckpoint``: the algorithm's convergence-stats action
+    (always issued right after materialize) is the job that computes the
+    superstep, caches the state blocks, and truncates lineage — one job
+    per superstep. Measured alternatives: eager localCheckpoint adds a
+    dedicated job (~2x superstep cost on small graphs); plain persist
+    leaves lineage growing, costing ~0.2 s/superstep of extra
+    analysis/planning by superstep 8.
+    """
+    return df.localCheckpoint(eager=False)
 
 
 def choose_num_partitions(
     spark,
-    num_vertices: int,
-    bytes_per_row: int = 64,
-    target_partition_bytes: int = 64 << 20,
-    min_factor: int = 2,
+    num_edges: int,
+    small_edges_per_partition: int = 75_000,
+    large_edges_per_partition: int = 4_000_000,
+    cap: int = 1_000_000,
 ) -> int:
     """X-Stream's streaming-partition autotuner, as a formula ([X13] §4).
 
-    P = max(parallelism x small factor, state bytes / target partition
-    bytes): enough partitions that every core has work, and no partition's
-    vertex sub-array outgrows the per-task memory budget.
+    Three regimes, measured on this host (32 cores):
+    - overhead-bound (small graphs): ~75k edges/partition — fewer, fatter
+      tasks beat per-task scheduling overhead (p=8 ran ~2x faster than
+      p=32 on a 600k-edge graph); floor of 4 so nothing serializes.
+    - throughput-bound: never more than 4 waves of the cluster
+      (4 x defaultParallelism tasks per superstep stage).
+    - memory-bound (huge graphs): the 4-wave cap is OVERRIDDEN so no
+      partition exceeds ~4M edges (~100 MB shuffled) — partitions then
+      queue over executors exactly like X-Stream streams partitions;
+      at 10^12 edges on a 1000-executor cluster this regime binds.
     """
-    parallelism = spark.sparkContext.defaultParallelism
-    by_mem = math.ceil(num_vertices * bytes_per_row / target_partition_bytes)
-    return max(parallelism * min_factor, by_mem, 1)
+    par = spark.sparkContext.defaultParallelism
+    p_small = math.ceil(num_edges / small_edges_per_partition)
+    p_mem = math.ceil(num_edges / large_edges_per_partition)
+    return max(4, min(p_small, par * 4), min(p_mem, cap))
+
+
+@contextmanager
+def superstep_conf(spark, num_partitions: int, adaptive: bool | None = None):
+    """Scoped engine tuning for an iterative run (restored on exit).
+
+    - ``spark.sql.shuffle.partitions = num_partitions`` so the message
+      shuffle (groupBy) and the static edge layout agree — exchange reuse
+      instead of re-shuffling the constant edge table every superstep.
+    - AQE off for small runs: per-stage re-planning costs the driver more
+      than it saves when supersteps are sub-second (measured ~2x); on for
+      large runs (skew-join splitting = Chaos's work stealing, [C15] §3.2).
+    """
+    if adaptive is None:
+        adaptive = num_partitions > spark.sparkContext.defaultParallelism * 4
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
 
 
 @dataclass
@@ -85,6 +127,7 @@ def run_supersteps(
     history: list[dict[str, Any]] = []
     converged = False
     superstep = start_superstep
+    prev: DataFrame | None = None
     while superstep < max_iters:
         t0 = time.time()
         new_state, stats = step_fn(state, superstep)
@@ -96,7 +139,11 @@ def run_supersteps(
         converged = bool(stats.get("converged", False))
         if checkpointer and (converged or superstep % checkpoint_every == 0):
             checkpointer.save(new_state, superstep, metrics=stats)
-        state = new_state
+        # Release the state superseded two steps ago (the new state's plan
+        # may still read the immediately-previous cache).
+        if prev is not None:
+            prev.unpersist()
+        prev, state = state, new_state
         if converged:
             break
     return RunResult(state=state, supersteps=superstep, converged=converged, history=history)
