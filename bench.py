@@ -121,15 +121,26 @@ def _ensure_bench_graph(scale: int, num_edges: int, seed: int = 42) -> str:
 
 
 def _pagerank_throughput(
-    cpus: int, path: str, supersteps: int, shuffle: int, warmup_steps: int = 2
+    cpus: int, path: str, supersteps: int, shuffle: int,
+    warmup_steps: int = 2, algo_path: str = "join",
 ) -> dict:
     spark = _session(cpus, shuffle=shuffle)
     edges = spark.read.parquet(path)
     n_edges = edges.count()
+    if algo_path == "csr":
+        from chaos_spark.csr import pagerank_csr as pr_fn
+    elif algo_path in ("broadcast", "shuffle"):
+        import functools
+
+        pr_fn = functools.partial(pagerank, mode=algo_path)
+    else:  # "join" = legacy alias for the shuffle path
+        import functools
+
+        pr_fn = functools.partial(pagerank, mode="shuffle")
     # warm-up (JIT, shuffle services, page cache)
-    pagerank(spark, edges, tol=0.0, max_iters=warmup_steps, num_partitions=shuffle)
+    pr_fn(spark, edges, tol=0.0, max_iters=warmup_steps, num_partitions=shuffle)
     t0 = time.time()
-    res = pagerank(spark, edges, tol=0.0, max_iters=supersteps, num_partitions=shuffle)
+    res = pr_fn(spark, edges, tol=0.0, max_iters=supersteps, num_partitions=shuffle)
     wall = time.time() - t0
     assert res.supersteps == supersteps
     return {
@@ -142,21 +153,26 @@ def _pagerank_throughput(
     }
 
 
-def run_scaling(scale: int, num_edges: int, supersteps: int, lo: int, hi: int) -> dict:
+def run_scaling(
+    scale: int, num_edges: int, supersteps: int, lo: int, hi: int,
+    algo_path: str = "join", shuffle: int | None = None, write_md: bool = True,
+) -> dict:
     path = _ensure_bench_graph(scale, num_edges)
-    shuffle = hi * 2  # pinned to the larger run for BOTH (BASELINE.md §3.2)
-    r_lo = _pagerank_throughput(lo, path, supersteps, shuffle)
-    r_hi = _pagerank_throughput(hi, path, supersteps, shuffle)
+    shuffle = shuffle or hi * 2  # pinned to the larger run for BOTH (BASELINE.md §3.2)
+    r_lo = _pagerank_throughput(lo, path, supersteps, shuffle, algo_path=algo_path)
+    r_hi = _pagerank_throughput(hi, path, supersteps, shuffle, algo_path=algo_path)
     eff = (r_hi["edges_per_sec"] / r_lo["edges_per_sec"]) / (hi / lo)
     out = {
         "graph": {"scale": scale, "edges": num_edges, "path": path},
+        "algo_path": algo_path,
         "shuffle_partitions": shuffle,
         "runs": {f"local[{lo}]": r_lo, f"local[{hi}]": r_hi},
         "scaling_efficiency": round(eff, 4),
         "target": 0.8,
         "pass": eff >= 0.8,
     }
-    _write_baseline_md(out, lo, hi)
+    if write_md:
+        _write_baseline_md(out, lo, hi)
     return out
 
 
@@ -195,11 +211,19 @@ def main() -> None:
     ap.add_argument("--supersteps", type=int, default=10)
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--path", dest="algo_path",
+                    choices=["join", "shuffle", "broadcast", "csr"], default="join")
+    ap.add_argument("--shuffle", type=int, default=None)
+    ap.add_argument("--no-md", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     args = ap.parse_args()
     if args.scaling:
-        out = run_scaling(args.scale, args.edges, args.supersteps, args.lo, args.hi)
+        out = run_scaling(
+            args.scale, args.edges, args.supersteps, args.lo, args.hi,
+            algo_path=args.algo_path, shuffle=args.shuffle,
+            write_md=not args.no_md,
+        )
     else:
         out = run_default(args.sf_dir, args.cpus)
     print(json.dumps(out))

@@ -47,6 +47,14 @@ from ..graph import (
 )
 
 
+# Broadcast-mode ceiling: the per-superstep sender table (id, m) is ~24
+# bytes/vertex in the broadcast hash map; beyond this many vertices the
+# state no longer "fits in memory" per executor and we shuffle instead —
+# the exact analogue of X-Stream's in-memory vs out-of-core engine switch
+# ([X13] §4).
+BROADCAST_MAX_VERTICES = 20_000_000
+
+
 def pagerank(
     spark: SparkSession,
     edges: DataFrame,
@@ -58,20 +66,119 @@ def pagerank(
     checkpoint_every: int = 5,
     hub_threshold: int | None = None,
     salt_buckets: int = 8,
+    mode: str = "auto",
 ) -> RunResult:
     """Run PageRank to L-inf convergence < ``tol``; returns RunResult whose
     ``state`` has columns ``(id, out_degree, rank)``.
 
-    ``hub_threshold``: if set, destinations with in-degree above it are
-    salted into ``salt_buckets`` sub-keys (two-level aggregation) to absorb
-    reducer skew on hub vertices.
+    ``mode``:
+    - ``"shuffle"`` — scatter join + exchange from groupBy(dst): the
+      general path, works at any |V| (this is Chaos's update shuffle).
+    - ``"broadcast"`` — edges statically partitioned on ``dst``; every
+      superstep broadcasts the (tiny) sender vector and aggregates
+      map-side: ZERO per-superstep shuffle. Valid while the vertex state
+      fits in executor memory — X-Stream's in-memory engine regime.
+    - ``"auto"`` — broadcast iff |V| <= BROADCAST_MAX_VERTICES.
+
+    ``hub_threshold``: if set (shuffle mode), destinations with in-degree
+    above it are salted into ``salt_buckets`` sub-keys (two-level
+    aggregation) to absorb reducer skew on hub vertices; broadcast mode
+    has no reducer at all, so skew is moot there.
     """
     p = num_partitions or choose_num_partitions(spark, edges.count())
     with superstep_conf(spark, p):
+        if mode not in ("auto", "shuffle", "broadcast"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode == "auto":
+            n_verts = vertices_from_edges(edges.select(SRC, DST)).count()
+            mode = (
+                "broadcast"
+                if n_verts <= BROADCAST_MAX_VERTICES and hub_threshold is None
+                else "shuffle"
+            )
+        if mode == "broadcast" and hub_threshold is None:
+            return _pagerank_broadcast(
+                spark, edges, damping, tol, max_iters, p,
+                checkpointer, checkpoint_every,
+            )
         return _pagerank(
             spark, edges, damping, tol, max_iters, p, checkpointer,
             checkpoint_every, hub_threshold, salt_buckets,
         )
+
+
+def _pagerank_broadcast(
+    spark, edges, damping, tol, max_iters, p, checkpointer, checkpoint_every
+) -> RunResult:
+    """Zero-shuffle superstep: edges hash-partitioned on dst ONCE; the
+    sender vector (id, rank/outdeg) is broadcast; groupBy(dst) reuses the
+    static layout (no exchange); the apply join sees both sides hash-
+    partitioned on the join key (no exchange). Every superstep is
+    embarrassingly parallel over the edge partitions — Spark's image of
+    X-Stream's in-memory streaming partitions."""
+    e = dedup_edges(edges)
+    verts = vertices_from_edges(e)
+    n = verts.count()
+
+    e = e.repartition(p, F.col(DST)).persist()
+    e.count()
+    deg = out_degrees(e)
+
+    def init() -> DataFrame:
+        return materialize(
+            verts.join(deg, verts[ID] == deg[ID], "left")
+            .select(
+                verts[ID],
+                F.coalesce(deg["out_degree"], F.lit(0)).alias("out_degree"),
+                F.lit(1.0 / n).alias("rank"),
+            )
+            .repartition(p, F.col(ID))
+        )
+
+    state, start = resume_or_init(spark, checkpointer, init)
+
+    row = state.agg(
+        F.sum(F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)).alias("dm")
+    ).first()
+    dangling = {"mass": float(row["dm"] or 0.0)}
+
+    def step(cur: DataFrame, superstep: int):
+        dm = dangling["mass"]
+        senders = cur.where(F.col("out_degree") > 0).select(
+            F.col(ID), (F.col("rank") / F.col("out_degree")).alias("m")
+        )
+        contribs = (
+            e.join(F.broadcast(senders), e[SRC] == senders[ID])
+            .groupBy(DST)
+            .agg(F.sum("m").alias("contrib"))
+        )
+        new = cur.join(contribs, cur[ID] == contribs[DST], "left").select(
+            cur[ID],
+            cur["out_degree"],
+            cur["rank"].alias("_prev"),
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
+            ).alias("rank"),
+        )
+        new = materialize(new, superstep)
+        stats_row = new.agg(
+            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+            F.sum(
+                F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
+            ).alias("dm"),
+        ).first()
+        dangling["mass"] = float(stats_row["dm"] or 0.0)
+        delta = float(stats_row["delta"])
+        return new, {"converged": delta < tol, "delta": delta}
+
+    result = run_supersteps(
+        state, step, max_iters, checkpointer, checkpoint_every, start_superstep=start
+    )
+    e.unpersist()
+    result.state = result.state.select(ID, "out_degree", "rank")
+    return result
 
 
 def _pagerank(

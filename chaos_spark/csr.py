@@ -1,0 +1,268 @@
+"""CSR fast path — partition-parallel sparse gather-scatter in numpy.
+
+This is the north-star mechanism [BJ north_star]: replace the per-superstep
+join+groupBy with per-partition CSR-block kernels built in Arrow-backed
+pandas UDFs, the 1:1 Spark image of an X-Stream streaming partition
+([X13] §3.2): a vertex interval, the edge block whose ``src`` falls in the
+interval, and the update stream routed to it.
+
+Layout (built ONCE per graph, reused every superstep):
+- vertices are assigned a partition ``part = pmod(xxhash64(id), P)``;
+- edges carry ``part(src)`` and are repartitioned + persisted on it;
+- per (graph, partition) the Python worker memoizes the sorted edge arrays
+  and the CSC-style gather index (``dst_unique``, ``dst_inverse``) —
+  Spark reuses Python workers (``spark.python.worker.reuse``), so across
+  supersteps the "CSR block" behaves like X-Stream's on-disk edge file:
+  written once, streamed every iteration.  A cache miss only costs a
+  rebuild, never correctness.
+
+Per superstep the cogroup kernel receives (edge block, local vertex state),
+computes every edge message in vectorized numpy, PRE-AGGREGATES per ``dst``
+inside the partition (np.bincount / np.fmin.at — X-Stream's in-buffer
+pre-aggregation), and emits only ``(dst, partial)`` rows.  The only shuffle
+per superstep is that partial stream — |shuffle| is bounded by
+P x |distinct dst per partition|, not |E|.
+
+Equivalence contract (SURVEY §3.2): identical supersteps and results vs the
+join path — exact for CC (min is order-independent), allclose for PageRank
+(float summation order differs).  Property-tested in tests/test_csr.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import (
+    RunResult,
+    choose_num_partitions,
+    materialize,
+    run_supersteps,
+    superstep_conf,
+)
+from .graph import DST, ID, SRC, dedup_edges, out_degrees, symmetrize, vertices_from_edges
+
+# Per-Python-worker memo of immutable per-partition edge blocks.
+# key: (graph_token, part) -> dict(src, dst_unique, dst_inverse)
+_BLOCK_CACHE: dict[tuple[str, int], dict[str, np.ndarray]] = {}
+_BLOCK_CACHE_MAX = 64
+
+
+def _edge_block(token: str, part: int, pdf_edges: pd.DataFrame) -> dict[str, np.ndarray]:
+    key = (token, part)
+    blk = _BLOCK_CACHE.get(key)
+    if blk is not None and len(blk["src"]) == len(pdf_edges):
+        return blk
+    src = pdf_edges[SRC].to_numpy(dtype=np.int64)
+    dst = pdf_edges[DST].to_numpy(dtype=np.int64)
+    dst_unique, dst_inverse = np.unique(dst, return_inverse=True)
+    blk = {"src": src, "dst_unique": dst_unique, "dst_inverse": dst_inverse}
+    if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
+        _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
+    _BLOCK_CACHE[key] = blk
+    return blk
+
+
+def _lookup(state_ids: np.ndarray, order: np.ndarray, values: np.ndarray, src: np.ndarray):
+    """values[src] via sorted-id binary search; src ids absent from state
+    (can't happen when state covers all vertices) would map arbitrarily, so
+    callers guarantee coverage."""
+    ids_sorted = state_ids[order]
+    idx = np.searchsorted(ids_sorted, src)
+    return values[order[np.clip(idx, 0, len(order) - 1)]]
+
+
+class CsrGraph:
+    """Edges partitioned once on ``part(src)`` for cogroup kernels."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        num_partitions: int | None = None,
+        undirected: bool = False,
+        token: str | None = None,
+    ):
+        from .shipping import ensure_shipped
+
+        ensure_shipped(spark)  # kernels reference module fns on executors
+        e = dedup_edges(edges)
+        if undirected:
+            e = symmetrize(e)
+        self.spark = spark
+        self.num_edges = e.count()
+        self.p = num_partitions or choose_num_partitions(spark, self.num_edges)
+        # Unique per CsrGraph: worker caches are reused across the many
+        # supersteps of one run (the case that matters); a fresh graph gets
+        # a fresh token so stale blocks can never be read.
+        import uuid
+
+        self.token = token or f"g-{uuid.uuid4().hex}-{self.num_edges}-{self.p}"
+        self.edges = (
+            e.withColumn("part", F.pmod(F.xxhash64(F.col(SRC)), F.lit(self.p)).cast("int"))
+            .repartition(self.p, F.col("part"))
+            .persist()
+        )
+        self.edges.count()
+        self.verts = vertices_from_edges(self.edges).persist()
+        self.num_vertices = self.verts.count()
+
+    def part_col(self, col: str):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.p)).cast("int")
+
+    def grouped_edges(self):
+        return self.edges.groupby("part")
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        self.verts.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def pagerank_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """PageRank via the CSR kernel; same semantics as algos.pagerank
+    (dangling mass redistributed, L-inf convergence)."""
+    g = CsrGraph(spark, edges, num_partitions)
+    with superstep_conf(spark, g.p):
+        res = _pagerank_csr(spark, g, damping, tol, max_iters)
+    g.unpersist()
+    return res
+
+
+def _pagerank_csr(spark, g: CsrGraph, damping, tol, max_iters) -> RunResult:
+    n = g.num_vertices
+    deg = out_degrees(g.edges)
+    state = materialize(
+        g.verts.join(deg, ID, "left")
+        .select(
+            F.col(ID),
+            F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+        .withColumn("part", g.part_col(ID))
+        .repartition(g.p, F.col("part"))
+    )
+    row = state.agg(
+        F.sum(F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)).alias("dm")
+    ).first()
+    dangling = {"mass": float(row["dm"] or 0.0)}
+    token = g.token
+
+    def kernel(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(edges_pdf) == 0 or len(state_pdf) == 0:
+            return pd.DataFrame({DST: pd.Series([], dtype="int64"),
+                                 "partial": pd.Series([], dtype="float64")})
+        blk = _edge_block(token, int(edges_pdf["part"].iloc[0]), edges_pdf)
+        ids = state_pdf[ID].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        od = state_pdf["out_degree"].to_numpy(dtype=np.float64)
+        rank = state_pdf["rank"].to_numpy(dtype=np.float64)
+        m = np.where(od > 0, rank / np.where(od > 0, od, 1.0), 0.0)
+        m_edge = _lookup(ids, order, m, blk["src"])
+        partial = np.bincount(blk["dst_inverse"], weights=m_edge,
+                              minlength=len(blk["dst_unique"]))
+        return pd.DataFrame({DST: blk["dst_unique"], "partial": partial})
+
+    def step(cur: DataFrame, superstep: int):
+        dm = dangling["mass"]
+        partials = g.grouped_edges().cogroup(cur.groupby("part")).applyInPandas(
+            kernel, schema=f"{DST} long, partial double"
+        )
+        contribs = partials.groupBy(DST).agg(F.sum("partial").alias("contrib"))
+        new = cur.join(contribs, cur[ID] == contribs[DST], "left").select(
+            cur[ID],
+            cur["out_degree"],
+            cur["part"],
+            cur["rank"].alias("_prev"),
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
+            ).alias("rank"),
+        )
+        new = materialize(new, superstep)
+        stats_row = new.agg(
+            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+            F.sum(
+                F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
+            ).alias("dm"),
+        ).first()
+        dangling["mass"] = float(stats_row["dm"] or 0.0)
+        delta = float(stats_row["delta"])
+        return new, {"converged": delta < tol, "delta": delta}
+
+    result = run_supersteps(state, step, max_iters)
+    result.state = result.state.select(ID, "out_degree", "rank")
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Connected components (hash-min)
+# ---------------------------------------------------------------------------
+
+def cc_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iters: int = 100,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Hash-min connected components via the CSR kernel; exact same
+    fixed point as algos.connected_components (min is order-free)."""
+    g = CsrGraph(spark, edges, num_partitions, undirected=True)
+    with superstep_conf(spark, g.p):
+        res = _cc_csr(spark, g, max_iters)
+    g.unpersist()
+    return res
+
+
+def _cc_csr(spark, g: CsrGraph, max_iters) -> RunResult:
+    state = materialize(
+        g.verts.select(F.col(ID), F.col(ID).alias("label"))
+        .withColumn("part", g.part_col(ID))
+        .repartition(g.p, F.col("part"))
+    )
+    state.count()
+    token = g.token + ":cc"
+
+    def kernel(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(edges_pdf) == 0 or len(state_pdf) == 0:
+            return pd.DataFrame({DST: pd.Series([], dtype="int64"),
+                                 "ml": pd.Series([], dtype="int64")})
+        blk = _edge_block(token, int(edges_pdf["part"].iloc[0]), edges_pdf)
+        ids = state_pdf[ID].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        labels = state_pdf["label"].to_numpy(dtype=np.int64)
+        lab_edge = _lookup(ids, order, labels, blk["src"])
+        out = np.full(len(blk["dst_unique"]), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(out, blk["dst_inverse"], lab_edge)
+        return pd.DataFrame({DST: blk["dst_unique"], "ml": out})
+
+    def step(cur: DataFrame, superstep: int):
+        partials = g.grouped_edges().cogroup(cur.groupby("part")).applyInPandas(
+            kernel, schema=f"{DST} long, ml long"
+        )
+        mins = partials.groupBy(DST).agg(F.min("ml").alias("ml"))
+        new = cur.join(mins, cur[ID] == mins[DST], "left").select(
+            cur[ID],
+            cur["part"],
+            F.least(cur["label"], F.coalesce(F.col("ml"), cur["label"])).alias("label"),
+            (F.coalesce(F.col("ml"), cur["label"]) < cur["label"]).alias("_chg"),
+        )
+        new = materialize(new, superstep)
+        changed = new.agg(F.sum(F.col("_chg").cast("long")).alias("c")).first()["c"]
+        return new, {"converged": int(changed or 0) == 0, "changed": int(changed or 0)}
+
+    result = run_supersteps(state, step, max_iters)
+    result.state = result.state.select(ID, "label")
+    return result

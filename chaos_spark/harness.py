@@ -284,6 +284,28 @@ def q_pagerank_k5(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_csr_k5(spark, sf_dir):
+    """Same 5-superstep PageRank as pagerank_k5 but through the CSR
+    fast path (per-partition numpy kernels) — verified against the SAME
+    unrolled-CTE oracle, proving kernel ≡ join path to the driver."""
+    from .csr import pagerank_csr
+
+    e = cust_supp_edges(spark, sf_dir)
+    res = pagerank_csr(spark, e, damping=D, tol=0.0, max_iters=5)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_cc_csr_k(spark, sf_dir):
+    """CC to convergence via the CSR kernel; exact (min is order-free),
+    same fixed point as the unrolled-k oracle for any k >= diameter —
+    uses k=6 like cc_k6."""
+    from .csr import cc_csr
+
+    e = part_edges(spark, sf_dir)
+    res = cc_csr(spark, e, max_iters=6)
+    return res.state.select("id", "label")
+
+
 def q_cc_k6(spark, sf_dir):
     e = part_edges(spark, sf_dir)
     res = connected_components(spark, e, max_iters=6)
@@ -440,6 +462,370 @@ SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """.strip()
 
 
+# --- stretch graph algorithms ----------------------------------------------
+
+MIS_A, MIS_B, MIS_P = 2654435761, 40503, 2147483647
+MIS_SHIFT = 100_000_000  # combined key = pri * SHIFT + id (ids < 1e8)
+
+
+def mis_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled Luby MIS with the same deterministic priorities as
+    algos.mis; lexicographic (pri, id) min via the combined-key trick."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"und AS (SELECT src, dst FROM ({_UND}) _u WHERE src <> dst)",
+        f"verts AS ({_VERTS})",
+        "st0 AS (SELECT id, 0 AS status FROM verts)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"act{i} AS (SELECT id,"
+            f" (id * {MIS_A} + {i * MIS_B}) % {MIS_P} AS pri"
+            f" FROM st{i} WHERE status = 0)"
+        )
+        parts.append(
+            f"nmin{i} AS (SELECT e.dst AS id,"
+            f" MIN(a.pri * {MIS_SHIFT} + a.id) AS mc"
+            f" FROM und e JOIN act{i} a ON e.src = a.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"newin{i} AS (SELECT a.id FROM act{i} a LEFT JOIN nmin{i} m USING(id)"
+            f" WHERE m.mc IS NULL OR a.pri * {MIS_SHIFT} + a.id < m.mc)"
+        )
+        parts.append(
+            f"knock{i} AS (SELECT DISTINCT e.dst AS id FROM und e"
+            f" JOIN newin{i} s ON e.src = s.id)"
+        )
+        parts.append(
+            f"st{i + 1} AS (SELECT s.id, CASE WHEN s.status <> 0 THEN s.status"
+            f" WHEN n.id IS NOT NULL THEN 1 WHEN k.id IS NOT NULL THEN 2"
+            f" ELSE 0 END AS status FROM st{i} s"
+            f" LEFT JOIN newin{i} n USING(id) LEFT JOIN knock{i} k USING(id))"
+        )
+    return _with(parts, f"SELECT id, status = 1 AS in_set FROM st{rounds}")
+
+
+def bipartite_sql(edges_sql: str, k: int) -> str:
+    """Unrolled BFS-parity coloring; state = root*1000 + dist combined key
+    (== lexicographic struct(root, dist) min for dist < 1000)."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"und AS (SELECT src, dst FROM ({_UND}) _u WHERE src <> dst)",
+        f"verts AS ({_VERTS})",
+        "st0 AS (SELECT id, id * 1000 AS c FROM verts)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"m{i} AS (SELECT e.dst AS id, MIN(s.c) + 1 AS mc"
+            f" FROM und e JOIN st{i} s ON e.src = s.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"st{i + 1} AS (SELECT s.id, LEAST(s.c, COALESCE(m.mc, s.c)) AS c"
+            f" FROM st{i} s LEFT JOIN m{i} m USING(id))"
+        )
+    return _with(
+        parts,
+        f"SELECT id, c // 1000 AS root, c % 1000 AS dist,"
+        f" (c % 1000) % 2 AS color FROM st{k}",
+    )
+
+
+def q_mis_r4(spark, sf_dir):
+    from .algos import maximal_independent_set
+
+    e = part_edges(spark, sf_dir)
+    res = maximal_independent_set(spark, e, max_iters=4)
+    return res.state.select("id", "in_set")
+
+
+def q_bipartite_k6(spark, sf_dir):
+    from .algos import bipartite_check
+
+    e = part_edges(spark, sf_dir)
+    res = bipartite_check(spark, e, max_iters=6)
+    return res.state.select(
+        "id", "root", F.col("dist").cast("long").alias("dist"),
+        (F.col("dist") % 2).cast("long").alias("color"),
+    )
+
+
+def q_scc(spark, sf_dir):
+    """FB-coloring SCC to convergence — rows-only (data-dependent inner
+    fixpoints are not expressible as a fixed CTE unroll)."""
+    from .algos import strongly_connected_components
+
+    e = part_edges(spark, sf_dir)
+    return strongly_connected_components(spark, e).state.select("id", "label")
+
+
+def q_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest with deterministic derived weights
+    — rows-only (recursive contraction isn't a fixed unroll)."""
+    from .algos import minimum_spanning_forest
+
+    e = part_edges(spark, sf_dir).withColumn(
+        "weight", ((F.col("src") * 31 + F.col("dst")) % 997 + 1).cast("double")
+    )
+    return minimum_spanning_forest(spark, e).state.select("src", "dst", "weight")
+
+
+def q_hyperanf(spark, sf_dir):
+    """HyperANF neighborhood-function estimates — rows-only (HLL register
+    hashing is not portably SQL-expressible)."""
+    from .algos import hyper_anf
+
+    e = part_edges(spark, sf_dir)
+    res = hyper_anf(spark, e, max_iters=16)
+    return res.state.select(
+        "id", F.round(F.element_at(F.col("nf"), -1), 4).alias("nf_final")
+    )
+
+
+# --- text-curation operators (MinHash / SimHash / fingerprints / lang-id) --
+
+SQL_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+SQL_H32 = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+
+
+def _sql_shingles(toks: str = SQL_TOKS, n: int = 3) -> str:
+    grams = (
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> list_extract({toks}, i)"
+        + "".join(f" || ' ' || list_extract({toks}, i + {j})" for j in range(1, n))
+        + ")"
+    )
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN {grams}"
+        f" ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+SQL_MINHASH_SIGS = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform({_sql_shingles()}, s -> {SQL_H32.format(s='s')}) AS hs
+  FROM documents
+)
+SELECT doc_id, k AS perm,
+       list_aggregate(
+         list_transform(hs, h -> (h * (2 * k + 1) + k * 40503) % 2147483647),
+         'min') AS minhash
+FROM d, range(16) t(k)
+""".strip()
+
+# near-dup universe: documents UNION their 80%-prefix truncations
+SQL_DOCS_PLUS_TRUNC = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id,
+       substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+FROM documents
+""".strip()
+
+SQL_LSH_PAIRS = f"""
+WITH docs2 AS ({SQL_DOCS_PLUS_TRUNC}),
+d AS (
+  SELECT doc_id,
+         list_transform({_sql_shingles()}, s -> {SQL_H32.format(s='s')}) AS hs
+  FROM docs2
+),
+sigs AS (
+  SELECT doc_id, k AS perm,
+         list_aggregate(
+           list_transform(hs, h -> (h * (2 * k + 1) + k * 40503) % 2147483647),
+           'min') AS minhash
+  FROM d, range(16) t(k)
+),
+buckets AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS bucket
+  FROM sigs GROUP BY doc_id, perm // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+""".strip()
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(((h >> {b}) & 1) * 2 - 1) AS _b{b}" for b in range(16)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN _b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
+
+SQL_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS tok FROM documents
+),
+h AS (SELECT doc_id, {SQL_H32.format(s='tok')} AS h FROM t),
+b AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM b
+""".strip()
+
+_SQL_PREFIX = "substr(text, 1, 200)"
+_SQL_CHAR_SHINGLES = (
+    f"CASE WHEN length({_SQL_PREFIX}) >= 8 THEN"
+    f" list_transform(range(1, length({_SQL_PREFIX}) - 6),"
+    f" i -> substr({_SQL_PREFIX}, i, 8))"
+    f" ELSE [{_SQL_PREFIX}] END"
+)
+
+SQL_FINGERPRINTS = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform({_SQL_CHAR_SHINGLES}, s -> {SQL_H32.format(s='s')}) AS hs
+  FROM documents
+)
+SELECT doc_id, k AS perm,
+       list_aggregate(
+         list_transform(hs, h -> (h * (2 * k + 1) + k * 40503) % 2147483647),
+         'min') AS fp
+FROM d, range(4) t(k)
+""".strip()
+
+
+def _sql_stop_count(lang: str) -> str:
+    from .textops import STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    c = f"len(list_filter({SQL_TOKS}, x -> x IN ({words})))"
+    if lang == "zh":
+        c = f"({c} + length(regexp_replace(text, '[^一-鿿]', '', 'g')))"
+    return c
+
+
+SQL_LANG_ID = f"""
+WITH c AS (
+  SELECT doc_id,
+         {_sql_stop_count('en')} AS c_en, {_sql_stop_count('de')} AS c_de,
+         {_sql_stop_count('fr')} AS c_fr, {_sql_stop_count('es')} AS c_es,
+         {_sql_stop_count('zh')} AS c_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_zh) = 0 THEN 'unknown'
+       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+       WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+       WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+       WHEN c_es >= c_zh THEN 'es'
+       ELSE 'zh' END AS pred_lang
+FROM c
+""".strip()
+
+SQL_NEAR_DUP_EMB = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+""".strip()
+
+
+def _docs_plus_trunc(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))").alias("text"),
+    )
+    return d.unionAll(trunc)
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from .textops import minhash_signatures
+
+    return minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+def q_lsh_near_dup(spark, sf_dir):
+    from .textops import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs_plus_trunc(spark, sf_dir))
+
+
+def q_lsh_jaccard(spark, sf_dir):
+    from .textops import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    docs = _docs_plus_trunc(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, lsh_candidate_pairs(docs))
+
+
+SQL_LSH_JACCARD = f"""
+WITH docs2 AS ({SQL_DOCS_PLUS_TRUNC}),
+pairs AS ({SQL_LSH_PAIRS}),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_sql_shingles()})) AS g FROM docs2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.g = a.g
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+""".strip()
+
+
+def q_simhash(spark, sf_dir):
+    from .textops import simhash
+
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    from .textops import fingerprints
+
+    return fingerprints(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    from .textops import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+def q_near_dup_embeddings(spark, sf_dir):
+    from .textops import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN around vec_id 0 — rows-only (approximate by
+    construction; exactness is the brute-force ann_topk query)."""
+    from .ann import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_topk(emb, qv, k=10, bits=6, tables=8)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: synthesize binary payloads from the
+    documents table, decode (deterministic fake kernel), feature rows.
+    Rows-only (zlib payload bytes are not SQL-reproducible)."""
+    from .multimodal import decode_image, synthesize_media
+
+    d = load(spark, sf_dir, "documents")
+    return decode_image(synthesize_media(d)).select(
+        "doc_id", "media_type", "byte_len", F.round("byte_mean", 4).alias("byte_mean")
+    )
+
+
 # --- rows-only queries (non-SQL-expressible at convergence) ----------------
 
 def q_pagerank_converged(spark, sf_dir):
@@ -470,7 +856,9 @@ QUERIES = {
     "out_degree": q_out_degree,
     "in_degree": q_in_degree,
     "pagerank_k5": q_pagerank_k5,
+    "pagerank_csr_k5": q_pagerank_csr_k5,
     "cc_k6": q_cc_k6,
+    "cc_csr_k6": q_cc_csr_k,
     "lpa_k3": q_lpa_k3,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
@@ -484,6 +872,22 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "pagerank_converged": q_pagerank_converged,
     "import_graph_edges": q_import_graph_edges,
+    # stretch graph algorithms
+    "mis_r4": q_mis_r4,
+    "bipartite_k6": q_bipartite_k6,
+    "scc": q_scc,
+    "msf": q_msf,
+    "hyperanf": q_hyperanf,
+    # text-curation / training-data pipeline
+    "minhash_sigs": q_minhash_sigs,
+    "lsh_near_dup": q_lsh_near_dup,
+    "lsh_jaccard": q_lsh_jaccard,
+    "simhash": q_simhash,
+    "fingerprints": q_fingerprints,
+    "lang_id": q_lang_id,
+    "near_dup_embeddings": q_near_dup_embeddings,
+    "ann_lsh": q_ann_lsh,
+    "media_features": q_media_features,
 }
 
 ORACLES = {
@@ -496,7 +900,9 @@ ORACLES = {
         "SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS in_degree FROM edges GROUP BY dst",
     ),
     "pagerank_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
+    "pagerank_csr_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "cc_k6": cc_sql(SQL_PART_EDGES, 6),
+    "cc_csr_k6": cc_sql(SQL_PART_EDGES, 6),
     "lpa_k3": lpa_sql(SQL_PART_EDGES, 3),
     "triangle_count": triangle_count_sql(SQL_PART_EDGES),
     "triangles_per_vertex": triangles_per_vertex_sql(SQL_PART_EDGES),
@@ -508,5 +914,16 @@ ORACLES = {
     "quality_score": SQL_QUALITY,
     "lang_dist": SQL_LANG_DIST,
     "ann_topk": SQL_ANN_TOPK,
-    # pagerank_converged, import_graph_edges: rows-only (no SQL oracle)
+    "mis_r4": mis_sql(SQL_PART_EDGES, 4),
+    "bipartite_k6": bipartite_sql(SQL_PART_EDGES, 6),
+    "minhash_sigs": SQL_MINHASH_SIGS,
+    "lsh_near_dup": SQL_LSH_PAIRS,
+    "lsh_jaccard": SQL_LSH_JACCARD,
+    "simhash": SQL_SIMHASH,
+    "fingerprints": SQL_FINGERPRINTS,
+    "lang_id": SQL_LANG_ID,
+    "near_dup_embeddings": SQL_NEAR_DUP_EMB,
+    # rows-only (no SQL oracle): pagerank_converged, import_graph_edges,
+    # scc, msf, hyperanf (data-dependent iteration counts / non-portable
+    # hashing), ann_lsh (approximate), media_features (binary payloads)
 }

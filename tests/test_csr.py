@@ -1,0 +1,75 @@
+"""CSR fast path ≡ join path (SURVEY §3.2 property) + oracle checks.
+
+The CSR kernel must compute the same fixed point as the DataFrame join
+path on every fixture graph: exact for CC (min is summation-order-free),
+allclose for PageRank (float sums reorder), and the same superstep count
+(both paths see the same convergence deltas up to ulp noise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from chaos_spark.algos import connected_components, pagerank
+from chaos_spark.csr import cc_csr, pagerank_csr
+from chaos_spark.fixtures import g1_chain, g2_star, g3_cliques, g4_powerlaw
+
+from tests.oracles import pagerank_oracle
+
+GRAPHS = {
+    "chain": g1_chain,
+    "star_hub": g2_star,
+    "two_cliques_bridge": g3_cliques,
+    "powerlaw": lambda: g4_powerlaw(scale=10, num_edges=5000),
+}
+
+
+def _ranks(res):
+    return {r["id"]: r["rank"] for r in res.state.select("id", "rank").collect()}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_pagerank_csr_equals_join_path(spark, name):
+    edges = spark.createDataFrame(GRAPHS[name]())
+    r_join = pagerank(spark, edges, tol=1e-6, max_iters=60)
+    r_csr = pagerank_csr(spark, edges, tol=1e-6, max_iters=60)
+    a, b = _ranks(r_join), _ranks(r_csr)
+    assert set(a) == set(b)
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=0, atol=1e-9)
+    assert r_csr.supersteps == r_join.supersteps
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_pagerank_csr_matches_oracle(spark, name):
+    pdf = GRAPHS[name]()
+    edges = spark.createDataFrame(pdf)
+    res = pagerank_csr(spark, edges, tol=1e-9, max_iters=500)
+    assert res.converged
+    got = _ranks(res)
+    want = pagerank_oracle(pdf)
+    assert set(got) == set(want)
+    assert max(abs(got[v] - want[v]) for v in want) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_cc_csr_equals_join_path(spark, name):
+    edges = spark.createDataFrame(GRAPHS[name]())
+    a = dict(
+        connected_components(spark, edges, max_iters=100)
+        .state.select("id", "label").collect()
+    )
+    b = dict(cc_csr(spark, edges, max_iters=100).state.select("id", "label").collect())
+    assert a == b
+
+
+def test_csr_partition_invariance(spark):
+    """Result must not depend on the partition count (the autotuned P is a
+    physical choice, never semantic)."""
+    edges = spark.createDataFrame(GRAPHS["powerlaw"]())
+    r4 = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=5, num_partitions=4))
+    r11 = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=5, num_partitions=11))
+    ks = sorted(r4)
+    assert np.allclose([r4[k] for k in ks], [r11[k] for k in ks], rtol=0, atol=1e-12)
