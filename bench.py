@@ -81,6 +81,14 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     extras["pagerank_supersteps_per_sec"] = round(pr.supersteps / pr_sec, 4)
     extras["pagerank_edges_per_sec"] = round(n_edges_cs * pr.supersteps / pr_sec, 1)
 
+    # Same convergence via the CSR kernel path (north-star mechanism).
+    from chaos_spark.csr import pagerank_csr
+
+    t0 = time.time()
+    pr2 = pagerank_csr(spark, e_cs, tol=1e-6, max_iters=100)
+    timings["pagerank_conv_csr"] = round(time.time() - t0, 3)
+    extras["pagerank_csr_supersteps"] = pr2.supersteps
+
     e_part = harness.part_edges(spark, sf_dir).persist()
     e_part.count()
     timed("cc_conv", lambda: connected_components(spark, e_part, max_iters=100))
@@ -153,14 +161,31 @@ def _pagerank_throughput(
     }
 
 
+def _throughput_subprocess(
+    cpus: int, path: str, supersteps: int, shuffle: int, algo_path: str
+) -> dict:
+    """One timed configuration per FRESH process — the faithful analogue of
+    one spark-submit per cluster size, and it keeps the second leg from
+    inheriting the first leg's JVM heap."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one",
+         str(cpus), path, str(supersteps), str(shuffle), algo_path],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_scaling(
     scale: int, num_edges: int, supersteps: int, lo: int, hi: int,
     algo_path: str = "join", shuffle: int | None = None, write_md: bool = True,
 ) -> dict:
     path = _ensure_bench_graph(scale, num_edges)
+    SparkSession.getActiveSession() and SparkSession.getActiveSession().stop()
     shuffle = shuffle or hi * 2  # pinned to the larger run for BOTH (BASELINE.md §3.2)
-    r_lo = _pagerank_throughput(lo, path, supersteps, shuffle, algo_path=algo_path)
-    r_hi = _pagerank_throughput(hi, path, supersteps, shuffle, algo_path=algo_path)
+    r_lo = _throughput_subprocess(lo, path, supersteps, shuffle, algo_path)
+    r_hi = _throughput_subprocess(hi, path, supersteps, shuffle, algo_path)
     eff = (r_hi["edges_per_sec"] / r_lo["edges_per_sec"]) / (hi / lo)
     out = {
         "graph": {"scale": scale, "edges": num_edges, "path": path},
@@ -204,6 +229,13 @@ persisted once at `{out['graph']['path']}` so both runs scan the same bytes.
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        cpus, path, supersteps, shuffle, algo_path = sys.argv[2:7]
+        out = _pagerank_throughput(
+            int(cpus), path, int(supersteps), int(shuffle), algo_path=algo_path
+        )
+        print(json.dumps(out))
+        return
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale", type=int, default=20)

@@ -17,8 +17,12 @@ from .scc import strongly_connected_components
 from .bipartite import bipartite_check
 from .mcst import minimum_spanning_forest
 from .hyperanf import hyper_anf
+from .als import als
+from .bp import belief_propagation
 
 __all__ = [
+    "als",
+    "belief_propagation",
     "pagerank",
     "connected_components",
     "label_propagation",

@@ -45,8 +45,12 @@ from .graph import DST, ID, SRC, dedup_edges, out_degrees, symmetrize, vertices_
 
 # Per-Python-worker memo of immutable per-partition edge blocks.
 # key: (graph_token, part) -> dict(src, dst_unique, dst_inverse)
+# HARD-CAPPED small: Spark schedules tasks onto workers nondeterministically,
+# so across supersteps a worker sees many different partitions — a large
+# cache costs O(workers x cap x block) memory for a low hit rate (measured:
+# cap 64 at 32 workers on a 64M-edge graph thrashed the whole host).
 _BLOCK_CACHE: dict[tuple[str, int], dict[str, np.ndarray]] = {}
-_BLOCK_CACHE_MAX = 64
+_BLOCK_CACHE_MAX = 4
 
 
 def _edge_block(token: str, part: int, pdf_edges: pd.DataFrame) -> dict[str, np.ndarray]:
@@ -73,6 +77,41 @@ def _lookup(state_ids: np.ndarray, order: np.ndarray, values: np.ndarray, src: n
     return values[order[np.clip(idx, 0, len(order) - 1)]]
 
 
+# -- packed blocks: X-Stream's fixed-size packed records, one blob per
+#    streaming partition. Built ONCE; per superstep the blob rides the
+#    Arrow boundary as a single binary cell (12 B/edge: i64 src + u32
+#    dst_inverse) instead of 20 B/edge of row-oriented (src, dst, part).
+
+def _pack_block(pdf_edges: pd.DataFrame) -> tuple[bytes, int, int]:
+    src = pdf_edges[SRC].to_numpy(dtype=np.int64)
+    dst = pdf_edges[DST].to_numpy(dtype=np.int64)
+    dst_unique, dst_inverse = np.unique(dst, return_inverse=True)
+    blob = (
+        src.tobytes()
+        + dst_inverse.astype(np.uint32).tobytes()
+        + dst_unique.tobytes()
+    )
+    return blob, len(src), len(dst_unique)
+
+
+def _unpack_block(token: str, part: int, blob: bytes, n: int, nu: int) -> dict[str, np.ndarray]:
+    key = (token, part)
+    blk = _BLOCK_CACHE.get(key)
+    if blk is not None and len(blk["src"]) == n:
+        return blk
+    b = memoryview(blob)
+    o1, o2 = 8 * n, 8 * n + 4 * n
+    blk = {
+        "src": np.frombuffer(b[:o1], dtype=np.int64),
+        "dst_inverse": np.frombuffer(b[o1:o2], dtype=np.uint32).astype(np.int64),
+        "dst_unique": np.frombuffer(b[o2:], dtype=np.int64),
+    }
+    if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
+        _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
+    _BLOCK_CACHE[key] = blk
+    return blk
+
+
 class CsrGraph:
     """Edges partitioned once on ``part(src)`` for cogroup kernels."""
 
@@ -83,6 +122,7 @@ class CsrGraph:
         num_partitions: int | None = None,
         undirected: bool = False,
         token: str | None = None,
+        packed: bool = True,
     ):
         from .shipping import ensure_shipped
 
@@ -93,6 +133,7 @@ class CsrGraph:
         self.spark = spark
         self.num_edges = e.count()
         self.p = num_partitions or choose_num_partitions(spark, self.num_edges)
+        self.packed = packed
         # Unique per CsrGraph: worker caches are reused across the many
         # supersteps of one run (the case that matters); a fresh graph gets
         # a fresh token so stale blocks can never be read.
@@ -107,16 +148,36 @@ class CsrGraph:
         self.edges.count()
         self.verts = vertices_from_edges(self.edges).persist()
         self.num_vertices = self.verts.count()
+        # Degree pre-pass while the row layout is cached (PageRank init).
+        self.out_deg = out_degrees(self.edges).persist()
+        self.out_deg.count()
+        self.blocks = None
+        if packed:
+            def pack_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                blob, n, nu = _pack_block(pdf)
+                return pd.DataFrame(
+                    {"part": [int(key[0])], "n": [n], "nu": [nu], "blob": [blob]}
+                )
+
+            self.blocks = self.edges.groupby("part").applyInPandas(
+                pack_kernel, schema="part int, n long, nu long, blob binary"
+            ).persist()
+            self.blocks.count()
+            # the packed blobs supersede the row layout for supersteps
+            self.edges.unpersist()
 
     def part_col(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.p)).cast("int")
 
     def grouped_edges(self):
-        return self.edges.groupby("part")
+        return (self.blocks if self.packed else self.edges).groupby("part")
 
     def unpersist(self) -> None:
         self.edges.unpersist()
         self.verts.unpersist()
+        self.out_deg.unpersist()
+        if self.blocks is not None:
+            self.blocks.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -130,19 +191,30 @@ def pagerank_csr(
     tol: float = 1e-6,
     max_iters: int = 100,
     num_partitions: int | None = None,
+    packed: bool = True,
 ) -> RunResult:
     """PageRank via the CSR kernel; same semantics as algos.pagerank
     (dangling mass redistributed, L-inf convergence)."""
-    g = CsrGraph(spark, edges, num_partitions)
+    g = CsrGraph(spark, edges, num_partitions, packed=packed)
     with superstep_conf(spark, g.p):
         res = _pagerank_csr(spark, g, damping, tol, max_iters)
     g.unpersist()
     return res
 
 
+def _resolve_block(token: str, pdf_left: pd.DataFrame) -> dict[str, np.ndarray]:
+    """Edge block from either layout: packed blob row or raw edge rows."""
+    if "blob" in pdf_left.columns:
+        row = pdf_left.iloc[0]
+        return _unpack_block(
+            token, int(row["part"]), row["blob"], int(row["n"]), int(row["nu"])
+        )
+    return _edge_block(token, int(pdf_left["part"].iloc[0]), pdf_left)
+
+
 def _pagerank_csr(spark, g: CsrGraph, damping, tol, max_iters) -> RunResult:
     n = g.num_vertices
-    deg = out_degrees(g.edges)
+    deg = g.out_deg
     state = materialize(
         g.verts.join(deg, ID, "left")
         .select(
@@ -163,7 +235,7 @@ def _pagerank_csr(spark, g: CsrGraph, damping, tol, max_iters) -> RunResult:
         if len(edges_pdf) == 0 or len(state_pdf) == 0:
             return pd.DataFrame({DST: pd.Series([], dtype="int64"),
                                  "partial": pd.Series([], dtype="float64")})
-        blk = _edge_block(token, int(edges_pdf["part"].iloc[0]), edges_pdf)
+        blk = _resolve_block(token, edges_pdf)
         ids = state_pdf[ID].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         od = state_pdf["out_degree"].to_numpy(dtype=np.float64)
@@ -216,10 +288,11 @@ def cc_csr(
     edges: DataFrame,
     max_iters: int = 100,
     num_partitions: int | None = None,
+    packed: bool = True,
 ) -> RunResult:
     """Hash-min connected components via the CSR kernel; exact same
     fixed point as algos.connected_components (min is order-free)."""
-    g = CsrGraph(spark, edges, num_partitions, undirected=True)
+    g = CsrGraph(spark, edges, num_partitions, undirected=True, packed=packed)
     with superstep_conf(spark, g.p):
         res = _cc_csr(spark, g, max_iters)
     g.unpersist()
@@ -239,7 +312,7 @@ def _cc_csr(spark, g: CsrGraph, max_iters) -> RunResult:
         if len(edges_pdf) == 0 or len(state_pdf) == 0:
             return pd.DataFrame({DST: pd.Series([], dtype="int64"),
                                  "ml": pd.Series([], dtype="int64")})
-        blk = _edge_block(token, int(edges_pdf["part"].iloc[0]), edges_pdf)
+        blk = _resolve_block(token, edges_pdf)
         ids = state_pdf[ID].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         labels = state_pdf["label"].to_numpy(dtype=np.int64)

@@ -111,6 +111,42 @@ class RunResult:
         return sum(h["seconds"] for h in self.history)
 
 
+class _EphemeralReset:
+    """Ping-pong parquet dirs used to hard-reset lineage AND Catalyst
+    statistics every few supersteps.
+
+    Why: ``localCheckpoint`` truncates the logical plan but PROPAGATES the
+    plan's estimated ``sizeInBytes`` into the LogicalRDD. An algorithm
+    whose superstep references the state k >= 2 times multiplicatively
+    (e.g. belief propagation: total-product join + reverse-message join +
+    delta join) therefore grows the sizeInBytes BigInt by a factor of k
+    PER SUPERSTEP — after ~25 supersteps Catalyst spends minutes doing
+    million-digit BigInteger multiplications inside stats estimation
+    (measured: BP digits 3 -> 1490 in 6 supersteps). A parquet round-trip
+    resets stats to the REAL on-disk size. Two alternating dirs because
+    the in-flight lazy state may still reference the previously-written
+    files."""
+
+    def __init__(self) -> None:
+        import tempfile
+
+        self.base = tempfile.mkdtemp(prefix="chaos_state_reset_")
+        self.flip = 0
+
+    def reset(self, df: DataFrame) -> DataFrame:
+        import os
+
+        path = os.path.join(self.base, f"pp{self.flip}")
+        self.flip = 1 - self.flip
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    def cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.base, ignore_errors=True)
+
+
 def run_supersteps(
     state: DataFrame,
     step_fn: StepFn,
@@ -122,31 +158,55 @@ def run_supersteps(
     """Drive ``step_fn`` to convergence or ``max_iters``.
 
     ``state`` must already be materialized (cached/checkpointed) by the
-    caller for superstep ``start_superstep``.
+    caller for superstep ``start_superstep``. Every ``checkpoint_every``
+    supersteps the state goes through a durable write+read (the configured
+    checkpointer's table, else an ephemeral temp dir) — this is both the
+    resume point and the lineage/statistics barrier (see _EphemeralReset).
     """
     history: list[dict[str, Any]] = []
     converged = False
     superstep = start_superstep
     prev: DataFrame | None = None
-    while superstep < max_iters:
-        t0 = time.time()
-        new_state, stats = step_fn(state, superstep)
-        seconds = time.time() - t0
-        superstep += 1
-        stats = dict(stats)
-        stats.update({"superstep": superstep, "seconds": round(seconds, 4)})
-        history.append(stats)
-        converged = bool(stats.get("converged", False))
-        if checkpointer and (converged or superstep % checkpoint_every == 0):
-            checkpointer.save(new_state, superstep, metrics=stats)
-        # Release the state superseded two steps ago (the new state's plan
-        # may still read the immediately-previous cache).
-        if prev is not None:
-            prev.unpersist()
-        prev, state = state, new_state
-        if converged:
-            break
-    return RunResult(state=state, supersteps=superstep, converged=converged, history=history)
+    ephemeral: _EphemeralReset | None = None
+    try:
+        while superstep < max_iters:
+            t0 = time.time()
+            new_state, stats = step_fn(state, superstep)
+            seconds = time.time() - t0
+            superstep += 1
+            stats = dict(stats)
+            stats.update({"superstep": superstep, "seconds": round(seconds, 4)})
+            history.append(stats)
+            converged = bool(stats.get("converged", False))
+            if not converged and superstep % checkpoint_every == 0:
+                if checkpointer:
+                    checkpointer.save(new_state, superstep, metrics=stats)
+                    new_state = checkpointer.load(
+                        new_state.sparkSession, checkpointer.latest()
+                    ).persist()
+                else:
+                    if ephemeral is None:
+                        ephemeral = _EphemeralReset()
+                    new_state = ephemeral.reset(new_state).persist()
+            elif converged and checkpointer:
+                checkpointer.save(new_state, superstep, metrics=stats)
+            # Release the state superseded two steps ago (the new state's
+            # plan may still read the immediately-previous cache).
+            if prev is not None:
+                prev.unpersist()
+            prev, state = state, new_state
+            if converged:
+                break
+        return RunResult(
+            state=state, supersteps=superstep, converged=converged, history=history
+        )
+    finally:
+        # NOTE: ephemeral dirs must outlive the returned state's laziness;
+        # materialize the final state before cleanup.
+        if ephemeral is not None:
+            state.persist()
+            state.count()
+            ephemeral.cleanup()
 
 
 def resume_or_init(

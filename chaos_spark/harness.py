@@ -581,6 +581,36 @@ def q_hyperanf(spark, sf_dir):
     )
 
 
+def q_als_sweeps(spark, sf_dir):
+    """ALS (rank 4, 2 sweeps) on the customer->supplier rating graph
+    (avg line quantity as the rating) — rows-only (per-vertex normal-
+    equation solves aren't SQL)."""
+    from .algos import als
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    ratings = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+            F.col("l_quantity").cast("double").alias("weight"),
+        )
+    )
+    res = als(spark, ratings, rank=4, num_sweeps=2)
+    return res.state.select("id", "side", F.round(F.element_at("vec", 1), 6).alias("v0"))
+
+
+def q_bp_beliefs(spark, sf_dir):
+    """Loopy BP beliefs on the part graph — rows-only (hash-derived node
+    potentials aren't portable SQL)."""
+    from .algos import belief_propagation
+
+    e = part_edges(spark, sf_dir)
+    res = belief_propagation(spark, e, coupling=0.7, tol=1e-8, max_iters=30)
+    return res.state.select("id", F.round("b1", 6).alias("b1"))
+
+
 # --- text-curation operators (MinHash / SimHash / fingerprints / lang-id) --
 
 SQL_TOKS = (
@@ -878,6 +908,8 @@ QUERIES = {
     "scc": q_scc,
     "msf": q_msf,
     "hyperanf": q_hyperanf,
+    "als_sweeps": q_als_sweeps,
+    "bp_beliefs": q_bp_beliefs,
     # text-curation / training-data pipeline
     "minhash_sigs": q_minhash_sigs,
     "lsh_near_dup": q_lsh_near_dup,

@@ -65,6 +65,17 @@ def test_cc_csr_equals_join_path(spark, name):
     assert a == b
 
 
+def test_csr_packed_equals_rows_layout(spark):
+    """Packed binary blocks and raw Arrow rows are pure layout choices —
+    bit-identical results (same partitioning, same per-block fold order)."""
+    edges = spark.createDataFrame(GRAPHS["powerlaw"]())
+    a = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=4, packed=True))
+    b = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=4, packed=False))
+    ks = sorted(a)
+    assert a.keys() == b.keys()
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=0, atol=0)
+
+
 def test_csr_partition_invariance(spark):
     """Result must not depend on the partition count (the autotuned P is a
     physical choice, never semantic)."""
