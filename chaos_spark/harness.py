@@ -105,7 +105,12 @@ _VERTS = (
 
 
 def _with(parts: list[str], final: str) -> str:
-    return "WITH " + ",\n".join(parts) + "\n" + final
+    """CTE chain with every CTE MATERIALIZED: the unrolled superstep chains
+    reference earlier CTEs 2-3x each, and DuckDB's default inlining then
+    re-evaluates the whole prefix exponentially often (measured: the 4-round
+    MIS oracle went from >400 s to seconds; 5-round PageRank from 131 s)."""
+    mat = [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
+    return "WITH " + ",\n".join(mat) + "\n" + final
 
 
 # ---------------------------------------------------------------------------
