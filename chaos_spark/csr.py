@@ -45,12 +45,29 @@ from .graph import DST, ID, SRC, dedup_edges, out_degrees, symmetrize, vertices_
 
 # Per-Python-worker memo of immutable per-partition edge blocks.
 # key: (graph_token, part) -> dict(src, dst_unique, dst_inverse)
-# HARD-CAPPED small: Spark schedules tasks onto workers nondeterministically,
-# so across supersteps a worker sees many different partitions — a large
-# cache costs O(workers x cap x block) memory for a low hit rate (measured:
-# cap 64 at 32 workers on a 64M-edge graph thrashed the whole host).
+# BYTES-capped LRU (default 256 MB/worker, env CHAOS_BLOCK_CACHE_BYTES):
+# Spark schedules tasks onto workers nondeterministically, so an unbounded
+# cache costs O(workers x blocks) memory (measured: 64-entry cap at 32
+# workers on a 64M-edge graph thrashed the whole host); a bytes budget also
+# keeps the capacity comparable across parallelism levels (fewer workers
+# each own more partitions and need proportionally more slots).
+import os as _os
+
 _BLOCK_CACHE: dict[tuple[str, int], dict[str, np.ndarray]] = {}
-_BLOCK_CACHE_MAX = 4
+_BLOCK_CACHE_BYTES = int(_os.environ.get("CHAOS_BLOCK_CACHE_BYTES", 256 * 1024 * 1024))
+_cache_bytes = 0
+
+
+def _cache_put(key, blk: dict[str, np.ndarray]) -> None:
+    global _cache_bytes
+    nbytes = sum(int(a.nbytes) for a in blk.values())
+    if nbytes > _BLOCK_CACHE_BYTES:
+        return
+    while _BLOCK_CACHE and _cache_bytes + nbytes > _BLOCK_CACHE_BYTES:
+        old = _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))  # FIFO eviction
+        _cache_bytes -= sum(int(a.nbytes) for a in old.values())
+    _BLOCK_CACHE[key] = blk
+    _cache_bytes += nbytes
 
 
 def _edge_block(token: str, part: int, pdf_edges: pd.DataFrame) -> dict[str, np.ndarray]:
@@ -62,9 +79,7 @@ def _edge_block(token: str, part: int, pdf_edges: pd.DataFrame) -> dict[str, np.
     dst = pdf_edges[DST].to_numpy(dtype=np.int64)
     dst_unique, dst_inverse = np.unique(dst, return_inverse=True)
     blk = {"src": src, "dst_unique": dst_unique, "dst_inverse": dst_inverse}
-    if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
-        _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
-    _BLOCK_CACHE[key] = blk
+    _cache_put(key, blk)
     return blk
 
 
@@ -81,6 +96,10 @@ def _lookup(state_ids: np.ndarray, order: np.ndarray, values: np.ndarray, src: n
 #    streaming partition. Built ONCE; per superstep the blob rides the
 #    Arrow boundary as a single binary cell (12 B/edge: i64 src + u32
 #    dst_inverse) instead of 20 B/edge of row-oriented (src, dst, part).
+#    MEASURED REGRESSION (64M edges, local[32]): cache-miss supersteps cost
+#    ~30x rows-mode (Spark's cogroup sort + shuffle handles 12 MB-wide rows
+#    far worse than 1M narrow rows), so packed stays opt-in (packed=False
+#    default) until the wide-row path is understood.
 
 def _pack_block(pdf_edges: pd.DataFrame) -> tuple[bytes, int, int]:
     src = pdf_edges[SRC].to_numpy(dtype=np.int64)
@@ -106,9 +125,7 @@ def _unpack_block(token: str, part: int, blob: bytes, n: int, nu: int) -> dict[s
         "dst_inverse": np.frombuffer(b[o1:o2], dtype=np.uint32).astype(np.int64),
         "dst_unique": np.frombuffer(b[o2:], dtype=np.int64),
     }
-    if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
-        _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
-    _BLOCK_CACHE[key] = blk
+    _cache_put(key, blk)
     return blk
 
 
@@ -122,7 +139,7 @@ class CsrGraph:
         num_partitions: int | None = None,
         undirected: bool = False,
         token: str | None = None,
-        packed: bool = True,
+        packed: bool = False,
     ):
         from .shipping import ensure_shipped
 
@@ -191,11 +208,14 @@ def pagerank_csr(
     tol: float = 1e-6,
     max_iters: int = 100,
     num_partitions: int | None = None,
-    packed: bool = True,
+    packed: bool = False,
+    token: str | None = None,
 ) -> RunResult:
     """PageRank via the CSR kernel; same semantics as algos.pagerank
-    (dangling mass redistributed, L-inf convergence)."""
-    g = CsrGraph(spark, edges, num_partitions, packed=packed)
+    (dangling mass redistributed, L-inf convergence). ``token``: pass a
+    stable value ONLY when repeated calls use the identical edge set and
+    partition count — lets worker block caches survive across calls."""
+    g = CsrGraph(spark, edges, num_partitions, packed=packed, token=token)
     with superstep_conf(spark, g.p):
         res = _pagerank_csr(spark, g, damping, tol, max_iters)
     g.unpersist()
@@ -288,11 +308,14 @@ def cc_csr(
     edges: DataFrame,
     max_iters: int = 100,
     num_partitions: int | None = None,
-    packed: bool = True,
+    packed: bool = False,
+    token: str | None = None,
 ) -> RunResult:
     """Hash-min connected components via the CSR kernel; exact same
     fixed point as algos.connected_components (min is order-free)."""
-    g = CsrGraph(spark, edges, num_partitions, undirected=True, packed=packed)
+    g = CsrGraph(
+        spark, edges, num_partitions, undirected=True, packed=packed, token=token
+    )
     with superstep_conf(spark, g.p):
         res = _cc_csr(spark, g, max_iters)
     g.unpersist()
