@@ -169,6 +169,7 @@ def _pagerank_throughput(
         "wall_sec": round(wall, 2),
         "supersteps_per_sec": round(supersteps / wall, 4),
         "edges_per_sec": round(n_edges * supersteps / wall, 1),
+        "per_superstep_sec": [h["seconds"] for h in res.history],
     }
 
 
@@ -177,13 +178,21 @@ def _throughput_subprocess(
 ) -> dict:
     """One timed configuration per FRESH process — the faithful analogue of
     one spark-submit per cluster size, and it keeps the second leg from
-    inheriting the first leg's JVM heap."""
+    inheriting the first leg's JVM heap.
+
+    CHAOS_AQE is pinned (default off) so BOTH legs run the identical
+    engine config — round 2 found superstep_conf's AQE heuristic flipped
+    ON at local[8] but OFF at local[32] for the same job, and AQE-on made
+    local[8] superstep time grow 3.9s -> 79s over 10 supersteps (per-stage
+    re-planning interacting with localCheckpoint lineage)."""
     import subprocess
 
+    env = dict(os.environ)
+    env.setdefault("CHAOS_AQE", "off")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--one",
          str(cpus), path, str(supersteps), str(shuffle), algo_path],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True, check=True, env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 

@@ -88,14 +88,23 @@ def _bp(spark, edges, coupling, tol, max_iters, p) -> RunResult:
             F.col(DST).alias("u"), F.col(SRC).alias("v"),
             F.col("m0").alias("r0"), F.col("m1").alias("r1"),
         )
+        # Log-domain with a log-sum-exp shift: exp(s - log r) underflows to
+        # 0 once a hub vertex's summed log-messages drop below ~-745
+        # (degree ≳1070 at m≈0.5), making g0=g1=0 and the normalized
+        # message 0/0 = NaN; NaN then never converges (Spark orders NaN
+        # above all doubles). Subtracting max(l0, l1) before exponentiating
+        # cancels exactly in the normalization, so semantics are unchanged.
+        l0 = F.col("s0") - F.log("r0") + F.log(_phi(F.col("u"), 0))
+        l1 = F.col("s1") - F.log("r1") + F.log(_phi(F.col("u"), 1))
+        mx = F.greatest(l0, l1)
         base = (
             dedges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
             .join(tot, "u")
             .join(rev, ["u", "v"])
             .select(
                 "u", "v",
-                (F.exp(F.col("s0") - F.log("r0")) * _phi(F.col("u"), 0)).alias("g0"),
-                (F.exp(F.col("s1") - F.log("r1")) * _phi(F.col("u"), 1)).alias("g1"),
+                F.exp(l0 - mx).alias("g0"),
+                F.exp(l1 - mx).alias("g1"),
             )
         )
         unnorm = base.select(
@@ -126,12 +135,13 @@ def _bp(spark, edges, coupling, tol, max_iters, p) -> RunResult:
     tot = msgs.groupBy(DST).agg(
         F.sum(F.log("m0")).alias("s0"), F.sum(F.log("m1")).alias("s1")
     )
+    # Same log-sum-exp shift as the message update (hub-degree underflow).
+    bl0 = F.log(_phi(F.col(DST), 0)) + F.col("s0")
+    bl1 = F.log(_phi(F.col(DST), 1)) + F.col("s1")
+    bmx = F.greatest(bl0, bl1)
     beliefs = tot.select(
         F.col(DST).alias(ID),
-        (
-            (_phi(F.col(DST), 1) * F.exp("s1"))
-            / (_phi(F.col(DST), 0) * F.exp("s0") + _phi(F.col(DST), 1) * F.exp("s1"))
-        ).alias("b1"),
+        (F.exp(bl1 - bmx) / (F.exp(bl0 - bmx) + F.exp(bl1 - bmx))).alias("b1"),
     )
     dedges.unpersist()
     result.state = beliefs

@@ -123,14 +123,24 @@ def _hyper_anf(spark, edges, max_iters, seed, p) -> RunResult:
     state.count()
 
     def merge_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        regs = np.stack(pdf["mregs"].to_numpy()).astype(np.uint8)
-        return pd.DataFrame({ID: [key[0]], "mregs": [np.max(regs, axis=0)]})
+        # One call per PARTITION (pk), merging every destination vertex of
+        # the partition in one np.maximum.at pass — not one call per vertex
+        # (per-group grouped-map costs a Python round-trip per dst).
+        ids = pdf[ID].to_numpy(dtype=np.int64)
+        regs = np.stack(pdf["mregs"].to_numpy()).astype(np.uint8)  # (n, M)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        out = np.zeros((len(uniq), M), dtype=np.uint8)
+        np.maximum.at(out, inv, regs)
+        return pd.DataFrame({ID: uniq, "mregs": list(out)})
 
     def step(cur: DataFrame, superstep: int):
         msgs = und.join(
             cur.select(F.col(ID).alias(SRC), F.col("regs").alias("mregs")), SRC
-        ).select(F.col(DST).alias(ID), "mregs")
-        merged = msgs.groupBy(ID).applyInPandas(
+        ).select(
+            F.col(DST).alias(ID), "mregs",
+            F.pmod(F.xxhash64(F.col(DST)), F.lit(p)).cast("int").alias("pk"),
+        )
+        merged = msgs.groupBy("pk").applyInPandas(
             merge_udf, schema=f"{ID} long, mregs array<tinyint>"
         )
 

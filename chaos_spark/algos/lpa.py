@@ -9,14 +9,19 @@ vertices (no neighbors) keep their label. Runs a fixed number of
 supersteps (default 10) or stops early when no label changes.
 
 Gather is the two-level aggregate from SURVEY §2.2: count per
-``(dst, label)``, then pick the (max count, min label) row per dst — here
-via row_number over (cnt DESC, label ASC), which mirrors the DuckDB
-oracle SQL exactly and avoids integer-negation tricks under ANSI mode.
+``(dst, label)``, then pick the (max count, min label) row per dst via
+``max_by(label, struct(cnt, -label))`` — a pure hash aggregate. The
+row_number window used previously forced a full sort exchange every
+superstep (measured: 134 s of a 276 s bench at sf0.1); semantics are
+identical (the oracle SQL's row_number pick selects the same row), only
+the physical plan differs. ANSI note: ``-label`` on BIGINT can only
+overflow at int64 min, which xxhash64-minted ids hit with probability
+~2^-64 — accepted.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..checkpoint import CheckpointManager
 from ..engine import (
@@ -60,11 +65,8 @@ def _lpa(spark, edges, max_iters, p, checkpointer, checkpoint_every) -> RunResul
     def step(cur: DataFrame, superstep: int):
         msgs = und.join(cur, und[SRC] == cur[ID]).select(F.col(DST), F.col("label"))
         counts = msgs.groupBy(DST, "label").agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.partitionBy(DST).orderBy(F.col("cnt").desc(), F.col("label").asc())
-        best = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(F.col(DST), F.col("label").alias("_nl"))
+        best = counts.groupBy(DST).agg(
+            F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("_nl")
         )
         new = cur.join(best, cur[ID] == best[DST], "left").select(
             cur[ID],
@@ -72,7 +74,9 @@ def _lpa(spark, edges, max_iters, p, checkpointer, checkpoint_every) -> RunResul
             (F.coalesce(F.col("_nl"), cur["label"]) != cur["label"]).alias("_changed"),
         )
         new = materialize(new, superstep)
-        changed = new.where(F.col("_changed")).count()
+        changed = int(
+            new.agg(F.sum(F.col("_changed").cast("long")).alias("c")).first()["c"] or 0
+        )
         return new, {"converged": changed == 0, "changed": changed}
 
     result = run_supersteps(

@@ -47,12 +47,48 @@ from ..graph import (
 )
 
 
-# Broadcast-mode ceiling: the per-superstep sender table (id, m) is ~24
-# bytes/vertex in the broadcast hash map; beyond this many vertices the
-# state no longer "fits in memory" per executor and we shuffle instead —
-# the exact analogue of X-Stream's in-memory vs out-of-core engine switch
-# ([X13] §4).
+# Broadcast-mode hard cap. The real ceiling is memory-derived (see
+# _broadcast_max_vertices): the per-superstep sender table costs ~64
+# bytes/vertex inside the broadcast hash relation (LongToUnsafeRowMap +
+# row overhead), built once on the driver and once per executor — a flat
+# 20M-vertex ceiling OOMs default-sized (1g) executors at ~1.3 GB. The
+# cap below only bounds the memory-derived value on huge-heap hosts;
+# the switch is the analogue of X-Stream's in-memory vs out-of-core
+# engine regimes ([X13] §4).
 BROADCAST_MAX_VERTICES = 20_000_000
+_BROADCAST_BYTES_PER_VERTEX = 64
+_BROADCAST_HEAP_FRACTION = 0.10  # keep the hash relation under 10% of heap
+
+
+def _parse_mem(s: str) -> int:
+    s = s.strip().lower()
+    mult = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _broadcast_max_vertices(spark) -> int:
+    """Memory-derived broadcast ceiling: min(heap*fraction/bytes, hard cap).
+
+    Uses executor memory (cluster) falling back to driver memory (local
+    mode, where they are the same JVM). 1g heap -> ~1.6M vertices; a 32g
+    host -> the 20M hard cap.
+    """
+    try:
+        mem = spark.conf.get("spark.executor.memory", None)
+    except Exception:
+        mem = None
+    if not mem:
+        try:
+            mem = spark.conf.get("spark.driver.memory", "1g")
+        except Exception:
+            mem = "1g"
+    heap = _parse_mem(mem)
+    return min(
+        BROADCAST_MAX_VERTICES,
+        max(1, int(heap * _BROADCAST_HEAP_FRACTION / _BROADCAST_BYTES_PER_VERTEX)),
+    )
 
 
 def pagerank(
@@ -78,7 +114,9 @@ def pagerank(
       superstep broadcasts the (tiny) sender vector and aggregates
       map-side: ZERO per-superstep shuffle. Valid while the vertex state
       fits in executor memory — X-Stream's in-memory engine regime.
-    - ``"auto"`` — broadcast iff |V| <= BROADCAST_MAX_VERTICES.
+    - ``"auto"`` — broadcast iff |V| <= the memory-derived ceiling
+      (_broadcast_max_vertices: ~10% of executor heap at 64 B/vertex,
+      hard-capped at 20M).
 
     ``hub_threshold``: if set (shuffle mode), destinations with in-degree
     above it are salted into ``salt_buckets`` sub-keys (two-level
@@ -93,7 +131,7 @@ def pagerank(
             n_verts = vertices_from_edges(edges.select(SRC, DST)).count()
             mode = (
                 "broadcast"
-                if n_verts <= BROADCAST_MAX_VERTICES and hub_threshold is None
+                if n_verts <= _broadcast_max_vertices(spark) and hub_threshold is None
                 else "shuffle"
             )
         if mode == "broadcast" and hub_threshold is None:

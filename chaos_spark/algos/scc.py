@@ -153,6 +153,14 @@ def _scc(spark, edges, max_rounds, max_iters, p) -> RunResult:
         if n_remaining == 0:
             break
 
+    if assigned is None:
+        # Empty graph or max_rounds=0: no vertex was ever assigned.
+        e.unpersist()
+        empty = spark.createDataFrame([], schema=f"{ID} long, label long")
+        return RunResult(
+            state=empty, supersteps=total_supersteps,
+            converged=n_remaining == 0, history=history,
+        )
     # Normalize: label each SCC by its min member id (oracle form).
     norm = assigned.groupBy("scc").agg(F.min(ID).alias("label"))
     state = assigned.join(norm, "scc").select(ID, "label")

@@ -6,22 +6,38 @@ pandas UDFs, the 1:1 Spark image of an X-Stream streaming partition
 ([X13] §3.2): a vertex interval, the edge block whose ``src`` falls in the
 interval, and the update stream routed to it.
 
-Layout (built ONCE per graph, reused every superstep):
-- vertices are assigned a partition ``part = pmod(xxhash64(id), P)``;
-- edges carry ``part(src)`` and are repartitioned + persisted on it;
-- per (graph, partition) the Python worker memoizes the sorted edge arrays
-  and the CSC-style gather index (``dst_unique``, ``dst_inverse``) —
-  Spark reuses Python workers (``spark.python.worker.reuse``), so across
-  supersteps the "CSR block" behaves like X-Stream's on-disk edge file:
-  written once, streamed every iteration.  A cache miss only costs a
-  rebuild, never correctness.
+Three block layouts; ``layout="disk"`` is the default (round 2):
 
-Per superstep the cogroup kernel receives (edge block, local vertex state),
-computes every edge message in vectorized numpy, PRE-AGGREGATES per ``dst``
-inside the partition (np.bincount / np.fmin.at — X-Stream's in-buffer
-pre-aggregation), and emits only ``(dst, partial)`` rows.  The only shuffle
-per superstep is that partial stream — |shuffle| is bounded by
-P x |distinct dst per partition|, not |E|.
+- **disk** — the X-Stream edge-file image done right. Edges are hash-
+  partitioned ONCE by Spark's own ``repartition(p, src)`` and each
+  physical partition's CSR arrays (src, dst_unique, dst_inverse) are
+  written to ONE .npz block file, named by partition index. Per superstep
+  only the (small) vertex state flows JVM->Python through ``mapInPandas``;
+  the kernel finds its block via ``TaskContext.partitionId()`` in a
+  bytes-capped worker cache, falling back to the block file on disk —
+  written once, streamed every iteration, no locality assumption (the
+  block dir is shared storage on a real cluster: Chaos's slipstore model,
+  [C15] §4). Round-1's cogroup layout re-shipped + re-sorted ALL edge
+  rows JVM->Python every superstep, which made the CSR path 2.3x SLOWER
+  than the join path; disk layout ships zero edge bytes per superstep.
+  Alignment contract: state is hash(id, p)-partitioned with the SAME
+  Murmur3 pmod as the edge build, AQE is pinned off inside the run so no
+  re-planning changes partition counts, and the kernel verifies every
+  block src resolves to a state row (raises loudly on misalignment — a
+  wrong-but-silent gather is the one failure mode this design must not
+  have).
+
+- **rows** — round-1 cogroup of raw edge rows with worker-memoized blocks
+  (kept for A/B tests).
+
+- **packed** — round-1 packed-blob cogroup (measured 30x regression on
+  cache misses; kept opt-in for the record).
+
+Per superstep the kernel computes every edge message in vectorized numpy,
+PRE-AGGREGATES per ``dst`` inside the partition (np.bincount / np.minimum
+.at — X-Stream's in-buffer pre-aggregation), and emits only
+``(dst, partial)`` rows.  The only shuffle per superstep is that partial
+stream — |shuffle| is bounded by P x |distinct dst per partition|, not |E|.
 
 Equivalence contract (SURVEY §3.2): identical supersteps and results vs the
 join path — exact for CC (min is order-independent), allclose for PageRank
@@ -92,6 +108,50 @@ def _lookup(state_ids: np.ndarray, order: np.ndarray, values: np.ndarray, src: n
     return values[order[np.clip(idx, 0, len(order) - 1)]]
 
 
+def _lookup_strict(
+    state_ids: np.ndarray, order: np.ndarray, values: np.ndarray, src: np.ndarray
+):
+    """Like _lookup but RAISES if any src id is missing from the state
+    partition — the disk layout's misalignment guard (an AQE re-plan or a
+    parquet round trip silently changing partitioning must fail loudly,
+    never gather from the wrong rows). One extra vectorized compare."""
+    ids_sorted = state_ids[order]
+    idx = np.searchsorted(ids_sorted, src)
+    clipped = np.clip(idx, 0, len(order) - 1)
+    if len(ids_sorted) == 0 or not np.array_equal(ids_sorted[clipped], src):
+        missing = int(
+            (len(src) - (ids_sorted[clipped] == src).sum()) if len(ids_sorted) else len(src)
+        )
+        raise RuntimeError(
+            f"CSR disk block misaligned with state partitioning: {missing}/"
+            f"{len(src)} block src ids absent from this state partition"
+        )
+    return values[order[clipped]]
+
+
+_DISK_BLOCK_BASE = _os.environ.get("CHAOS_CSR_BLOCK_DIR", "/tmp/chaos_csr_blocks")
+
+
+def _load_disk_block(token: str, pid: int, block_dir: str):
+    """Worker-side block fetch: bytes-capped cache, else the .npz file.
+    Returns None when the partition holds no edges (no file written)."""
+    key = (token, pid)
+    blk = _BLOCK_CACHE.get(key)
+    if blk is not None:
+        return blk
+    path = _os.path.join(block_dir, f"part-{pid}.npz")
+    if not _os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        blk = {
+            "src": z["src"],
+            "dst_unique": z["du"],
+            "dst_inverse": z["di"].astype(np.int64),
+        }
+    _cache_put(key, blk)
+    return blk
+
+
 # -- packed blocks: X-Stream's fixed-size packed records, one blob per
 #    streaming partition. Built ONCE; per superstep the blob rides the
 #    Arrow boundary as a single binary cell (12 B/edge: i64 src + u32
@@ -130,7 +190,7 @@ def _unpack_block(token: str, part: int, blob: bytes, n: int, nu: int) -> dict[s
 
 
 class CsrGraph:
-    """Edges partitioned once on ``part(src)`` for cogroup kernels."""
+    """Per-partition CSR edge blocks built once (see module docstring)."""
 
     def __init__(
         self,
@@ -140,23 +200,44 @@ class CsrGraph:
         undirected: bool = False,
         token: str | None = None,
         packed: bool = False,
+        layout: str | None = None,
     ):
         from .shipping import ensure_shipped
 
         ensure_shipped(spark)  # kernels reference module fns on executors
+        if layout is None:
+            layout = "packed" if packed else "disk"
+        if layout not in ("disk", "rows", "packed"):
+            raise ValueError(f"unknown CSR layout {layout!r}")
         e = dedup_edges(edges)
         if undirected:
             e = symmetrize(e)
         self.spark = spark
         self.num_edges = e.count()
         self.p = num_partitions or choose_num_partitions(spark, self.num_edges)
-        self.packed = packed
+        self.layout = layout
+        self.packed = layout == "packed"
         # Unique per CsrGraph: worker caches are reused across the many
         # supersteps of one run (the case that matters); a fresh graph gets
-        # a fresh token so stale blocks can never be read.
+        # a fresh token so stale blocks can never be read. A caller-pinned
+        # token (same edges + p only!) additionally reuses disk blocks and
+        # worker caches across runs (bench warmup -> timed run).
         import uuid
 
         self.token = token or f"g-{uuid.uuid4().hex}-{self.num_edges}-{self.p}"
+        self.block_dir = None
+        self.blocks = None
+        self._ephemeral_blocks = token is None
+        if layout == "disk":
+            self._build_disk_blocks(e)
+            # vertex/degree pre-passes straight off the (uncached) edge
+            # plan — one extra scan at build, zero steady-state cost.
+            self.verts = vertices_from_edges(e).persist()
+            self.num_vertices = self.verts.count()
+            self.out_deg = out_degrees(e).persist()
+            self.out_deg.count()
+            self.edges = e  # logical only; supersteps never touch it
+            return
         self.edges = (
             e.withColumn("part", F.pmod(F.xxhash64(F.col(SRC)), F.lit(self.p)).cast("int"))
             .repartition(self.p, F.col("part"))
@@ -168,8 +249,7 @@ class CsrGraph:
         # Degree pre-pass while the row layout is cached (PageRank init).
         self.out_deg = out_degrees(self.edges).persist()
         self.out_deg.count()
-        self.blocks = None
-        if packed:
+        if layout == "packed":
             def pack_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 blob, n, nu = _pack_block(pdf)
                 return pd.DataFrame(
@@ -183,18 +263,71 @@ class CsrGraph:
             # the packed blobs supersede the row layout for supersteps
             self.edges.unpersist()
 
+    def _build_disk_blocks(self, e: DataFrame) -> None:
+        """One job: hash-partition edges by src, write one .npz CSR block
+        per physical partition (atomic rename — idempotent under task
+        retry/speculation), named by TaskContext.partitionId()."""
+        import hashlib
+
+        safe = hashlib.md5(self.token.encode()).hexdigest()[:16]
+        self.block_dir = _os.path.join(_DISK_BLOCK_BASE, f"{safe}-p{self.p}")
+        marker = _os.path.join(self.block_dir, "_BUILT")
+        if _os.path.exists(marker):
+            return
+        _os.makedirs(self.block_dir, exist_ok=True)
+        bd = self.block_dir
+
+        def build(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            srcs, dsts = [], []
+            for pdf in batches:
+                srcs.append(pdf[SRC].to_numpy(dtype=np.int64))
+                dsts.append(pdf[DST].to_numpy(dtype=np.int64))
+            n = 0
+            if srcs:
+                src = np.concatenate(srcs)
+                dst = np.concatenate(dsts)
+                n = len(src)
+                if n:
+                    du, di = np.unique(dst, return_inverse=True)
+                    tmp = _os.path.join(bd, f".part-{pid}.{_os.getpid()}.tmp")
+                    with open(tmp, "wb") as f:
+                        np.savez(f, src=src, du=du, di=di.astype(np.uint32))
+                    _os.replace(tmp, _os.path.join(bd, f"part-{pid}.npz"))
+            yield pd.DataFrame({"part": [pid], "n": [n]})
+
+        built = (
+            e.repartition(self.p, F.col(SRC))
+            .mapInPandas(build, schema="part int, n long")
+            .collect()  # p rows — bounded by partition count, not |E|
+        )
+        assert sum(r["n"] for r in built) == self.num_edges
+        with open(marker, "w") as f:
+            f.write(str(self.num_edges))
+
     def part_col(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.p)).cast("int")
 
     def grouped_edges(self):
         return (self.blocks if self.packed else self.edges).groupby("part")
 
+    def align_state(self, df: DataFrame) -> DataFrame:
+        """Hash(id, p)-partition state to match the disk-block layout."""
+        return df.repartition(self.p, F.col(ID))
+
     def unpersist(self) -> None:
-        self.edges.unpersist()
+        if self.layout != "disk":
+            self.edges.unpersist()
         self.verts.unpersist()
         self.out_deg.unpersist()
         if self.blocks is not None:
             self.blocks.unpersist()
+        if self.block_dir is not None and self._ephemeral_blocks:
+            import shutil
+
+            shutil.rmtree(self.block_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -210,16 +343,92 @@ def pagerank_csr(
     num_partitions: int | None = None,
     packed: bool = False,
     token: str | None = None,
+    layout: str | None = None,
 ) -> RunResult:
     """PageRank via the CSR kernel; same semantics as algos.pagerank
     (dangling mass redistributed, L-inf convergence). ``token``: pass a
     stable value ONLY when repeated calls use the identical edge set and
-    partition count — lets worker block caches survive across calls."""
-    g = CsrGraph(spark, edges, num_partitions, packed=packed, token=token)
-    with superstep_conf(spark, g.p):
-        res = _pagerank_csr(spark, g, damping, tol, max_iters)
+    partition count — lets worker block caches (and disk blocks) survive
+    across calls."""
+    g = CsrGraph(
+        spark, edges, num_partitions, packed=packed, token=token, layout=layout
+    )
+    # AQE pinned off: the disk layout's state->block routing is by physical
+    # partition index; AQE coalescing would change partition counts mid-run
+    # (the kernel's strict check would catch it, but don't invite it).
+    with superstep_conf(spark, g.p, adaptive=False):
+        if g.layout == "disk":
+            res = _pagerank_csr_disk(spark, g, damping, tol, max_iters)
+        else:
+            res = _pagerank_csr(spark, g, damping, tol, max_iters)
     g.unpersist()
     return res
+
+
+def _pagerank_csr_disk(spark, g: CsrGraph, damping, tol, max_iters) -> RunResult:
+    n = g.num_vertices
+    state = materialize(
+        g.align_state(
+            g.verts.join(g.out_deg, ID, "left").select(
+                F.col(ID),
+                F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
+                F.lit(1.0 / n).alias("rank"),
+            )
+        )
+    )
+    row = state.agg(
+        F.sum(F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)).alias("dm")
+    ).first()
+    dangling = {"mass": float(row["dm"] or 0.0)}
+    token, block_dir = g.token, g.block_dir
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pdfs = list(batches)
+        blk = _load_disk_block(token, pid, block_dir)
+        if blk is None or not pdfs:
+            return
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        ids = pdf[ID].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        od = pdf["out_degree"].to_numpy(dtype=np.float64)
+        rank = pdf["rank"].to_numpy(dtype=np.float64)
+        m = np.where(od > 0, rank / np.where(od > 0, od, 1.0), 0.0)
+        m_edge = _lookup_strict(ids, order, m, blk["src"])
+        partial = np.bincount(blk["dst_inverse"], weights=m_edge,
+                              minlength=len(blk["dst_unique"]))
+        yield pd.DataFrame({DST: blk["dst_unique"], "partial": partial})
+
+    def step(cur: DataFrame, superstep: int):
+        dm = dangling["mass"]
+        partials = cur.mapInPandas(kernel, schema=f"{DST} long, partial double")
+        contribs = partials.groupBy(DST).agg(F.sum("partial").alias("contrib"))
+        new = cur.join(contribs, cur[ID] == contribs[DST], "left").select(
+            cur[ID],
+            cur["out_degree"],
+            cur["rank"].alias("_prev"),
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
+            ).alias("rank"),
+        )
+        new = materialize(new, superstep)
+        stats_row = new.agg(
+            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+            F.sum(
+                F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
+            ).alias("dm"),
+        ).first()
+        dangling["mass"] = float(stats_row["dm"] or 0.0)
+        delta = float(stats_row["delta"])
+        return new, {"converged": delta < tol, "delta": delta}
+
+    result = run_supersteps(state, step, max_iters, realign=g.align_state)
+    result.state = result.state.select(ID, "out_degree", "rank")
+    return result
 
 
 def _resolve_block(token: str, pdf_left: pd.DataFrame) -> dict[str, np.ndarray]:
@@ -310,16 +519,147 @@ def cc_csr(
     num_partitions: int | None = None,
     packed: bool = False,
     token: str | None = None,
+    layout: str | None = None,
 ) -> RunResult:
     """Hash-min connected components via the CSR kernel; exact same
     fixed point as algos.connected_components (min is order-free)."""
     g = CsrGraph(
-        spark, edges, num_partitions, undirected=True, packed=packed, token=token
+        spark, edges, num_partitions, undirected=True, packed=packed,
+        token=token, layout=layout,
     )
-    with superstep_conf(spark, g.p):
-        res = _cc_csr(spark, g, max_iters)
+    with superstep_conf(spark, g.p, adaptive=False):
+        if g.layout == "disk":
+            res = _cc_csr_disk(spark, g, max_iters)
+        else:
+            res = _cc_csr(spark, g, max_iters)
     g.unpersist()
     return res
+
+
+def _cc_csr_disk(spark, g: CsrGraph, max_iters) -> RunResult:
+    state = materialize(
+        g.align_state(g.verts.select(F.col(ID), F.col(ID).alias("label")))
+    )
+    state.count()
+    token, block_dir = g.token, g.block_dir
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pdfs = list(batches)
+        blk = _load_disk_block(token, pid, block_dir)
+        if blk is None or not pdfs:
+            return
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        ids = pdf[ID].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        labels = pdf["label"].to_numpy(dtype=np.int64)
+        lab_edge = _lookup_strict(ids, order, labels, blk["src"])
+        out = np.full(len(blk["dst_unique"]), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(out, blk["dst_inverse"], lab_edge)
+        yield pd.DataFrame({DST: blk["dst_unique"], "ml": out})
+
+    def step(cur: DataFrame, superstep: int):
+        partials = cur.mapInPandas(kernel, schema=f"{DST} long, ml long")
+        mins = partials.groupBy(DST).agg(F.min("ml").alias("ml"))
+        new = cur.join(mins, cur[ID] == mins[DST], "left").select(
+            cur[ID],
+            F.least(cur["label"], F.coalesce(F.col("ml"), cur["label"])).alias("label"),
+            (F.coalesce(F.col("ml"), cur["label"]) < cur["label"]).alias("_chg"),
+        )
+        new = materialize(new, superstep)
+        changed = new.agg(F.sum(F.col("_chg").cast("long")).alias("c")).first()["c"]
+        return new, {"converged": int(changed or 0) == 0, "changed": int(changed or 0)}
+
+    result = run_supersteps(state, step, max_iters, realign=g.align_state)
+    result.state = result.state.select(ID, "label")
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (most-frequent neighbor label, min-label ties)
+# ---------------------------------------------------------------------------
+
+def lpa_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iters: int = 10,
+    num_partitions: int | None = None,
+    token: str | None = None,
+) -> RunResult:
+    """Synchronous LPA via the CSR disk-block kernel; exact same fixed
+    point as algos.label_propagation (deterministic min-label ties).
+
+    The per-partition kernel pre-aggregates (dst, label) COUNTS with a
+    lexsort + run-length pass — X-Stream's in-buffer pre-aggregation for
+    the two-level LPA fold; the JVM side then sums partial counts and
+    picks max_by(label, (cnt, -label)) per dst. The north star names LPA
+    among the CSR-path algorithms [BJ north_star]."""
+    g = CsrGraph(spark, edges, num_partitions, undirected=True, token=token)
+    with superstep_conf(spark, g.p, adaptive=False):
+        res = _lpa_csr_disk(spark, g, max_iters)
+    g.unpersist()
+    return res
+
+
+def _lpa_csr_disk(spark, g: CsrGraph, max_iters) -> RunResult:
+    state = materialize(
+        g.align_state(g.verts.select(F.col(ID), F.col(ID).alias("label")))
+    )
+    state.count()
+    token, block_dir = g.token, g.block_dir
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pdfs = list(batches)
+        blk = _load_disk_block(token, pid, block_dir)
+        if blk is None or not pdfs:
+            return
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        ids = pdf[ID].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        labels = pdf["label"].to_numpy(dtype=np.int64)
+        lab_edge = _lookup_strict(ids, order, labels, blk["src"])
+        di = blk["dst_inverse"]
+        # partial count per (dst, label): lexsort + run-length boundaries
+        o = np.lexsort((lab_edge, di))
+        d_s, l_s = di[o], lab_edge[o]
+        if len(d_s) == 0:
+            return
+        boundary = np.empty(len(d_s), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(boundary)
+        cnt = np.diff(np.append(starts, len(d_s)))
+        yield pd.DataFrame({
+            DST: blk["dst_unique"][d_s[starts]],
+            "label": l_s[starts],
+            "cnt": cnt.astype(np.int64),
+        })
+
+    def step(cur: DataFrame, superstep: int):
+        partials = cur.mapInPandas(kernel, schema=f"{DST} long, label long, cnt long")
+        counts = partials.groupBy(DST, "label").agg(F.sum("cnt").alias("cnt"))
+        best = counts.groupBy(DST).agg(
+            F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("_nl")
+        )
+        new = cur.join(best, cur[ID] == best[DST], "left").select(
+            cur[ID],
+            F.coalesce(F.col("_nl"), cur["label"]).alias("label"),
+            (F.coalesce(F.col("_nl"), cur["label"]) != cur["label"]).alias("_chg"),
+        )
+        new = materialize(new, superstep)
+        changed = int(
+            new.agg(F.sum(F.col("_chg").cast("long")).alias("c")).first()["c"] or 0
+        )
+        return new, {"converged": changed == 0, "changed": changed}
+
+    result = run_supersteps(state, step, max_iters, realign=g.align_state)
+    result.state = result.state.select(ID, "label")
+    return result
 
 
 def _cc_csr(spark, g: CsrGraph, max_iters) -> RunResult:

@@ -23,6 +23,7 @@ Spark's ContextCleaner once the driver drops the reference.
 from __future__ import annotations
 
 import math
+import os as _os
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -85,9 +86,17 @@ def superstep_conf(spark, num_partitions: int, adaptive: bool | None = None):
     - AQE off for small runs: per-stage re-planning costs the driver more
       than it saves when supersteps are sub-second (measured ~2x); on for
       large runs (skew-join splitting = Chaos's work stealing, [C15] §3.2).
+    - env CHAOS_AQE={on,off} overrides the heuristic — the two-parallelism
+      scaling protocol needs BOTH legs on the identical setting (round 2:
+      the heuristic flipped AQE on at local[8] but off at local[32] for
+      the same job, a protocol asymmetry).
     """
     if adaptive is None:
-        adaptive = num_partitions > spark.sparkContext.defaultParallelism * 4
+        env = _os.environ.get("CHAOS_AQE", "").lower()
+        if env in ("on", "off"):
+            adaptive = env == "on"
+        else:
+            adaptive = num_partitions > spark.sparkContext.defaultParallelism * 4
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
@@ -154,6 +163,7 @@ def run_supersteps(
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     start_superstep: int = 0,
+    realign: Callable[[DataFrame], DataFrame] | None = None,
 ) -> RunResult:
     """Drive ``step_fn`` to convergence or ``max_iters``.
 
@@ -162,6 +172,12 @@ def run_supersteps(
     supersteps the state goes through a durable write+read (the configured
     checkpointer's table, else an ephemeral temp dir) — this is both the
     resume point and the lineage/statistics barrier (see _EphemeralReset).
+
+    ``realign``: applied to the state after any durable write+read. A
+    parquet round trip destroys physical partitioning; algorithms whose
+    step contract depends on it (the CSR disk-block path routes state to
+    per-partition edge blocks by partition INDEX) pass e.g.
+    ``lambda df: df.repartition(p, F.col("id"))`` here.
     """
     history: list[dict[str, Any]] = []
     converged = False
@@ -183,11 +199,14 @@ def run_supersteps(
                     checkpointer.save(new_state, superstep, metrics=stats)
                     new_state = checkpointer.load(
                         new_state.sparkSession, checkpointer.latest()
-                    ).persist()
+                    )
                 else:
                     if ephemeral is None:
                         ephemeral = _EphemeralReset()
-                    new_state = ephemeral.reset(new_state).persist()
+                    new_state = ephemeral.reset(new_state)
+                if realign is not None:
+                    new_state = realign(new_state)
+                new_state = new_state.persist()
             elif converged and checkpointer:
                 checkpointer.save(new_state, superstep, metrics=stats)
             # Release the state superseded two steps ago (the new state's

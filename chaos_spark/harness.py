@@ -244,6 +244,31 @@ def bfs_sql(edges_sql: str, k: int) -> str:
     return _with(parts, f"SELECT id, dist FROM st{k}")
 
 
+def sssp_sql(weighted_edges_sql: str, k: int) -> str:
+    """Unrolled k-round Bellman–Ford over a weighted edge view
+    (columns src, dst, weight). Generalizes bfs_sql: after k rounds both
+    the frontier implementation and this full relaxation equal the min
+    over paths of <= k edges, so they agree for any k."""
+    parts = [
+        f"edges AS ({weighted_edges_sql})",
+        f"verts AS ({_VERTS})",
+        "rt AS (SELECT MIN(src) AS r FROM edges)",
+        "st0 AS (SELECT id, CASE WHEN id = (SELECT r FROM rt)"
+        " THEN CAST(0 AS DOUBLE) END AS dist FROM verts)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"m{i} AS (SELECT e.dst AS id, MIN(s.dist + e.weight) AS nd"
+            f" FROM edges e JOIN st{i} s ON e.src = s.id AND s.dist IS NOT NULL"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"st{i + 1} AS (SELECT s.id, LEAST(s.dist, m.nd) AS dist"
+            f" FROM st{i} s LEFT JOIN m{i} m USING(id))"
+        )
+    return _with(parts, f"SELECT id, dist FROM st{k}")
+
+
 def kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
     parts = [
         f"edges AS ({edges_sql})",
@@ -341,6 +366,37 @@ def q_bfs_k4(spark, sf_dir):
     root = e.agg(F.min("src")).first()[0]
     res = sssp(spark, e, root=int(root), max_iters=4)
     return res.state.select("id", "dist")
+
+
+def q_sssp_k5(spark, sf_dir):
+    """Weighted Bellman–Ford (type-2 edges, [X13] §5.1): deterministic
+    weight 1 + (src+dst) mod 5 on the customer->supplier graph, 5
+    supersteps, verified against the unrolled weighted oracle — closes
+    the last §2.2 algorithm without driver verification."""
+    e = cust_supp_edges(spark, sf_dir).withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double"),
+    )
+    root = e.agg(F.min("src")).first()[0]
+    res = sssp(spark, e, root=int(root), weight_col="weight", max_iters=5)
+    return res.state.select("id", "dist")
+
+
+SQL_WEIGHTED_EDGES = (
+    f"SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS weight"
+    f" FROM ({SQL_CUST_SUPP_EDGES}) _we"
+)
+
+
+def q_lpa_csr_k3(spark, sf_dir):
+    """Same 3-superstep LPA as lpa_k3 but through the CSR disk-block
+    kernel (partition-local (dst,label) count pre-aggregation) — verified
+    against the SAME unrolled oracle, proving kernel ≡ join path."""
+    from .csr import lpa_csr
+
+    e = part_edges(spark, sf_dir)
+    res = lpa_csr(spark, e, max_iters=3)
+    return res.state.select("id", "label")
 
 
 def q_kcore3(spark, sf_dir):
@@ -895,6 +951,8 @@ QUERIES = {
     "cc_k6": q_cc_k6,
     "cc_csr_k6": q_cc_csr_k,
     "lpa_k3": q_lpa_k3,
+    "lpa_csr_k3": q_lpa_csr_k3,
+    "sssp_k5": q_sssp_k5,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
     "bfs_k4": q_bfs_k4,
@@ -941,6 +999,8 @@ ORACLES = {
     "cc_k6": cc_sql(SQL_PART_EDGES, 6),
     "cc_csr_k6": cc_sql(SQL_PART_EDGES, 6),
     "lpa_k3": lpa_sql(SQL_PART_EDGES, 3),
+    "lpa_csr_k3": lpa_sql(SQL_PART_EDGES, 3),
+    "sssp_k5": sssp_sql(SQL_WEIGHTED_EDGES, 5),
     "triangle_count": triangle_count_sql(SQL_PART_EDGES),
     "triangles_per_vertex": triangles_per_vertex_sql(SQL_PART_EDGES),
     "bfs_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),

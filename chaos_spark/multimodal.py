@@ -87,21 +87,34 @@ def decode_image(media: DataFrame, fake: bool = True) -> DataFrame:
     ensure_shipped(media.sparkSession)
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Whole-batch numpy: concatenate every payload in the Arrow batch
+        # into ONE uint8 buffer and compute all rows' histograms with a
+        # single bincount over (row*256 + byte) — no Python loop over rows,
+        # so the pattern a real decoder inherits is batch-shaped.
         for pdf in batches:
-            rows = []
-            for doc_id, mt, payload in zip(
-                pdf["doc_id"], pdf["media_type"], pdf["payload"]
-            ):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(b >> 4, minlength=16).astype(np.int64)
-                p = hist / max(len(b), 1)
-                ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
-                rows.append((int(doc_id), mt, len(b), float(b.mean()) if len(b) else 0.0,
-                             round(ent, 6), hist.tolist()))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "media_type", "byte_len",
-                               "byte_mean", "byte_entropy", "hist"]
-            )
+            n = len(pdf)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+            cat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row = np.repeat(np.arange(n, dtype=np.int64), lens)
+            bc = np.bincount(row * 256 + cat.astype(np.int64), minlength=n * 256)
+            byte_hist = bc.reshape(n, 256)                      # (n, 256)
+            sums = byte_hist @ np.arange(256, dtype=np.int64)   # per-row byte sum
+            hist = byte_hist.reshape(n, 16, 16).sum(axis=2)     # 16 nibble bins
+            safe = np.maximum(lens, 1)
+            p = hist / safe[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent = -np.where(p > 0, p * np.log2(np.where(p > 0, p, 1.0)), 0.0).sum(
+                    axis=1
+                )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                "media_type": pdf["media_type"].to_numpy(),
+                "byte_len": lens,
+                "byte_mean": np.where(lens > 0, sums / safe, 0.0),
+                "byte_entropy": np.round(ent, 6),
+                "hist": list(hist),
+            })
 
     return media.mapInPandas(features, schema=FEATURE_SCHEMA)
 
@@ -118,15 +131,17 @@ def frame_sample(media: DataFrame, every_n: int = 10, fake: bool = True) -> Data
     ensure_shipped(media.sparkSession)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized 1->N expansion: per-row sample counts -> np.repeat ids
+        # + a flat local-index arange (global arange minus per-row offsets).
         for pdf in batches:
             vids = pdf[pdf["media_type"] == "video"]
-            out_id, out_idx = [], []
-            for doc_id, n_frames in zip(vids["doc_id"], vids["n_frames"]):
-                idxs = range(0, int(n_frames), every_n)
-                out_id.extend([int(doc_id)] * len(list(idxs)))
-                out_idx.extend(range(0, int(n_frames), every_n))
-            yield pd.DataFrame({"doc_id": pd.Series(out_id, dtype="int64"),
-                                "frame_idx": pd.Series(out_idx, dtype="int64")})
+            nf = vids["n_frames"].to_numpy(dtype=np.int64)
+            cnt = (nf + every_n - 1) // every_n
+            total = int(cnt.sum())
+            ids = np.repeat(vids["doc_id"].to_numpy(dtype=np.int64), cnt)
+            offsets = np.repeat(np.cumsum(cnt) - cnt, cnt)
+            out_idx = (np.arange(total, dtype=np.int64) - offsets) * every_n
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": out_idx})
 
     return media.select("doc_id", "media_type", "n_frames").mapInPandas(
         sample, schema="doc_id long, frame_idx long"

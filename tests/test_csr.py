@@ -65,15 +65,35 @@ def test_cc_csr_equals_join_path(spark, name):
     assert a == b
 
 
-def test_csr_packed_equals_rows_layout(spark):
-    """Packed binary blocks and raw Arrow rows are pure layout choices —
-    bit-identical results (same partitioning, same per-block fold order)."""
+@pytest.mark.parametrize("other", ["rows", "packed"])
+def test_csr_layouts_equal(spark, other):
+    """Disk blocks, cogrouped rows, and packed blobs are pure layout
+    choices — equal results (per-block fold order may differ between
+    disk and cogroup partitionings, so allclose at float tolerance)."""
     edges = spark.createDataFrame(GRAPHS["powerlaw"]())
-    a = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=4, packed=True))
-    b = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=4, packed=False))
+    a = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=4, layout="disk"))
+    b = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=4, layout=other))
     ks = sorted(a)
     assert a.keys() == b.keys()
-    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=0, atol=0)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=0, atol=1e-12)
+
+
+def test_lpa_csr_equals_join_path(spark):
+    """lpa_csr (disk-block kernel) reaches the identical labeling as the
+    DataFrame join path — exact (counts + deterministic min-label ties)."""
+    from chaos_spark.algos import label_propagation
+    from chaos_spark.csr import lpa_csr
+
+    for name in ("two_cliques_bridge", "powerlaw"):
+        edges = spark.createDataFrame(GRAPHS[name]())
+        a = dict(
+            label_propagation(spark, edges, max_iters=7)
+            .state.select("id", "label").collect()
+        )
+        b = dict(
+            lpa_csr(spark, edges, max_iters=7).state.select("id", "label").collect()
+        )
+        assert a == b
 
 
 def test_csr_partition_invariance(spark):
