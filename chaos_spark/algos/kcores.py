@@ -51,14 +51,25 @@ def _k_core(spark, edges, k, max_iters, p) -> RunResult:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         survivors = deg.where(F.col("deg") >= k).select(ID)
-        new = cur.select(ID).join(
+        # ONE action per superstep: the drop count (in_core only shrinks,
+        # so converged <=> nothing flipped) and the alive count come from
+        # the same materializing aggregate, PageRank-style.
+        new = cur.select(ID, F.col("in_core").alias("_prev")).join(
             survivors.withColumn("_s", F.lit(True)), ID, "left"
-        ).select(F.col(ID), F.coalesce(F.col("_s"), F.lit(False)).alias("in_core"))
+        ).select(
+            F.col(ID),
+            F.coalesce(F.col("_s"), F.lit(False)).alias("in_core"),
+            (F.col("_prev") & ~F.coalesce(F.col("_s"), F.lit(False))).alias("_chg"),
+        )
         new = materialize(new, superstep)
-        before = cur.where(F.col("in_core")).count()
-        after = new.where(F.col("in_core")).count()
-        return new, {"converged": before == after, "alive": after}
+        row = new.agg(
+            F.sum(F.col("_chg").cast("long")).alias("dropped"),
+            F.sum(F.col("in_core").cast("long")).alias("alive"),
+        ).first()
+        dropped = int(row["dropped"] or 0)
+        return new, {"converged": dropped == 0, "alive": int(row["alive"] or 0)}
 
     result = run_supersteps(state, step, max_iters)
     und.unpersist()
+    result.state = result.state.select(ID, "in_core")
     return result

@@ -50,6 +50,27 @@ def materialize(df: DataFrame, superstep: int | None = None) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def release_state(df: DataFrame) -> None:
+    """Free a superseded state's cached blocks NOW, not at the next driver
+    GC. ``DataFrame.unpersist`` only covers CacheManager entries; a
+    localCheckpoint's blocks belong to the underlying RDD inside the
+    LogicalRDD plan node and are otherwise reclaimed only after the driver
+    GCs the RDD handle (ContextCleaner) — measured ~20 GB of dead state
+    blocks after 14 supersteps without this. Best-effort: py4j reflection
+    into the analyzed plan; any failure falls back to the periodic-GC
+    cleaner (session.py pins spark.cleaner.periodicGC.interval=30s)."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def choose_num_partitions(
     spark,
     num_edges: int,
@@ -195,24 +216,28 @@ def run_supersteps(
             history.append(stats)
             converged = bool(stats.get("converged", False))
             if not converged and superstep % checkpoint_every == 0:
+                written = new_state
                 if checkpointer:
-                    checkpointer.save(new_state, superstep, metrics=stats)
+                    checkpointer.save(written, superstep, metrics=stats)
                     new_state = checkpointer.load(
-                        new_state.sparkSession, checkpointer.latest()
+                        written.sparkSession, checkpointer.latest()
                     )
                 else:
                     if ephemeral is None:
                         ephemeral = _EphemeralReset()
-                    new_state = ephemeral.reset(new_state)
+                    new_state = ephemeral.reset(written)
                 if realign is not None:
                     new_state = realign(new_state)
                 new_state = new_state.persist()
+                # The written-out state is superseded by its durable copy;
+                # free its cached blocks now (it never becomes `prev`).
+                release_state(written)
             elif converged and checkpointer:
                 checkpointer.save(new_state, superstep, metrics=stats)
             # Release the state superseded two steps ago (the new state's
             # plan may still read the immediately-previous cache).
             if prev is not None:
-                prev.unpersist()
+                release_state(prev)
             prev, state = state, new_state
             if converged:
                 break

@@ -897,12 +897,64 @@ def q_near_dup_embeddings(spark, sf_dir):
 
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN around vec_id 0 — rows-only (approximate by
-    construction; exactness is the brute-force ann_topk query)."""
+    construction; exactness is the brute-force ann_topk query). Uses the
+    one-scan signature table (round 2): candidate lookup is a bucket join,
+    not ``tables`` corpus scans."""
     from .ann import lsh_topk
 
     emb = load(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_topk(emb, qv, k=10, bits=6, tables=8)
+    return lsh_topk(emb, qv, k=10, bits=4, tables=8)
+
+
+EMB_DIM = 64  # embeddings.parquet testdata dimension (TESTDATA.md)
+# 4 bits x 8 tables: at the cos>=0.45 threshold boundary p_bit = 1 -
+# acos(0.45)/pi = 0.648, so per-table collision = 0.648^4 = 0.18 and
+# any-of-8 recall = 0.79. 6 bits measured recall 0.29 — low thresholds
+# need coarse bands (bucket fan-in n/16 per table, still never n^2).
+_LSH_ND = {"bits": 4, "tables": 8, "threshold": 0.45}
+
+
+def q_near_dup_emb_lsh(spark, sf_dir):
+    """Scale-path embedding near-dup: banded hyperplane LSH buckets ->
+    candidate pair self-join -> exact cosine re-rank. Verified against a
+    DuckDB oracle evaluating the IDENTICAL buckets (signature_sql renders
+    the same planes + round-9 sign test), so the match is exact even
+    though the algorithm is approximate vs brute force."""
+    from .ann import embedding_near_dup_pairs_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(
+        emb, threshold=_LSH_ND["threshold"], bits=_LSH_ND["bits"],
+        tables=_LSH_ND["tables"], dim=EMB_DIM,
+    )
+
+
+def _near_dup_emb_lsh_sql() -> str:
+    from .ann import signature_sql
+
+    bits, tables, thr = _LSH_ND["bits"], _LSH_ND["tables"], _LSH_ND["threshold"]
+    sig_cols = ", ".join(
+        f"{signature_sql('v', EMB_DIM, bits, t)} AS s{t}" for t in range(tables)
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, s{t} AS sig FROM sigs" for t in range(tables)
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"sigs AS (SELECT vec_id, {sig_cols} FROM e)",
+        f"b AS ({melt})",
+        "pairs AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b"
+        " FROM b a JOIN b c ON a.tbl = c.tbl AND a.sig = c.sig"
+        " AND a.vec_id < c.vec_id)",
+        "sim AS (SELECT p.vec_a, p.vec_b,"
+        " ROUND(list_dot_product(ea.v, eb.v)"
+        " / (sqrt(list_dot_product(ea.v, ea.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim"
+        " FROM pairs p JOIN e ea ON ea.vec_id = p.vec_a"
+        " JOIN e eb ON eb.vec_id = p.vec_b)",
+    ]
+    return _with(parts, f"SELECT vec_a, vec_b, cos_sim FROM sim WHERE cos_sim >= {thr}")
 
 
 def q_media_features(spark, sf_dir):
@@ -981,6 +1033,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "lang_id": q_lang_id,
     "near_dup_embeddings": q_near_dup_embeddings,
+    "near_dup_emb_lsh": q_near_dup_emb_lsh,
     "ann_lsh": q_ann_lsh,
     "media_features": q_media_features,
 }
@@ -1020,6 +1073,7 @@ ORACLES = {
     "fingerprints": SQL_FINGERPRINTS,
     "lang_id": SQL_LANG_ID,
     "near_dup_embeddings": SQL_NEAR_DUP_EMB,
+    "near_dup_emb_lsh": _near_dup_emb_lsh_sql(),
     # rows-only (no SQL oracle): pagerank_converged, import_graph_edges,
     # scc, msf, hyperanf (data-dependent iteration counts / non-portable
     # hashing), ann_lsh (approximate), media_features (binary payloads)

@@ -283,8 +283,10 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine >= threshold: ``(vec_a, vec_b, cos_sim)``.
-    Brute-force O(n^2) — correct baseline; the scale path buckets by
-    SimHash-style hyperplane signatures first (see ann.lsh_ann_topk)."""
+    Brute-force O(n^2) — the small-scale correctness baseline ONLY; the
+    scale path is :func:`chaos_spark.ann.embedding_near_dup_pairs_lsh`
+    (banded hyperplane buckets -> candidate self-join -> exact re-rank),
+    which this function's results property-test against."""
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     return (

@@ -156,10 +156,47 @@ def test_lsh_topk_recall(spark, embeddings):
     qv = [float(x) for x in embeddings.where("vec_id = 0").first()["embedding"]]
     exact = [r["vec_id"] for r in brute_topk(embeddings, qv, k=10).collect()]
     approx = [r["vec_id"] for r in
-              lsh_topk(embeddings, qv, k=10, bits=6, tables=8).collect()]
+              lsh_topk(embeddings, qv, k=10, bits=4, tables=8).collect()]
     assert approx[0] == 0  # identical vector shares every signature
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.4, f"LSH recall@10 = {recall}"
+
+
+def test_lsh_topk_precomputed_sig_table_same_result(spark, embeddings):
+    """The persisted-signature-table path returns the identical result to
+    the build-on-the-fly path (same buckets, same candidates)."""
+    from chaos_spark.ann import build_signature_table
+
+    qv = [float(x) for x in embeddings.where("vec_id = 0").first()["embedding"]]
+    st = build_signature_table(embeddings, dim=len(qv), bits=4, tables=8).persist()
+    st.count()
+    a = [(r["vec_id"], r["cos_sim"]) for r in
+         lsh_topk(embeddings, qv, k=10, bits=4, tables=8).collect()]
+    b = [(r["vec_id"], r["cos_sim"]) for r in
+         lsh_topk(embeddings, qv, k=10, bits=4, tables=8, sig_table=st).collect()]
+    st.unpersist()
+    assert a == b
+
+
+def test_embedding_near_dup_lsh_recall_and_precision(spark, embeddings):
+    """LSH near-dup pairs vs brute force: every reported pair must be a
+    true pair (exact re-rank => precision 1.0) and recall must clear the
+    banding math for these parameters."""
+    from chaos_spark.ann import embedding_near_dup_pairs_lsh
+    from chaos_spark.textops import embedding_near_dup_pairs
+
+    thr = 0.45
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in embedding_near_dup_pairs(embeddings, thr).collect()}
+    approx = {(r["vec_a"], r["vec_b"])
+              for r in embedding_near_dup_pairs_lsh(
+                  embeddings, thr, bits=4, tables=8).collect()}
+    assert approx <= exact, "LSH reported a pair brute force rejects"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        # banding math at the threshold boundary: (1-acos(.45)/pi)^4 = .18
+        # per table, 1-(1-.18)^8 = .79 for any-of-8; assert with margin
+        assert recall >= 0.5, f"LSH near-dup recall = {recall}"
 
 
 # ---------------------------------------------------------------------------
