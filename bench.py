@@ -244,8 +244,13 @@ def _agg_runs(runs: list[dict]) -> dict:
     alongside for transparency."""
     import statistics
 
-    steps = [s for r in runs for s in r["per_superstep_sec"]]
-    med = statistics.median(steps)
+    # Two-level median: median superstep within each repeat, then the
+    # median across repeats — robust to a WHOLE repeat being stalled by
+    # host noise (a pooled median shifts when half of one repeat's steps
+    # are inflated; the per-repeat median quarantines it).
+    med = statistics.median(
+        statistics.median(r["per_superstep_sec"]) for r in runs
+    )
     return {
         "repeats": len(runs),
         "edges": runs[0]["edges"],

@@ -103,9 +103,18 @@ def pagerank(
     hub_threshold: int | None = None,
     salt_buckets: int = 8,
     mode: str = "auto",
+    weight_col: str | None = None,
 ) -> RunResult:
     """Run PageRank to L-inf convergence < ``tol``; returns RunResult whose
     ``state`` has columns ``(id, out_degree, rank)``.
+
+    ``weight_col``: weighted PageRank (SURVEY §2.2 option; [X13] type-2
+    edges): duplicate (src, dst) weights are summed, out-links are
+    normalized by each vertex's out-STRENGTH W(u) = Σw, messages carry
+    ``rank(u)/W(u) · w(e)``, dangling = W(u) = 0. The state's
+    ``out_degree`` column is then the (double) out-strength. Weighted
+    runs use the shuffle path (broadcast regime not implemented for
+    weights).
 
     ``mode``:
     - ``"shuffle"`` — scatter join + exchange from groupBy(dst): the
@@ -127,6 +136,10 @@ def pagerank(
     with superstep_conf(spark, p):
         if mode not in ("auto", "shuffle", "broadcast"):
             raise ValueError(f"unknown mode {mode!r}")
+        if weight_col is not None:
+            if mode == "broadcast":
+                raise ValueError("weighted PageRank supports the shuffle path only")
+            mode = "shuffle"
         if mode == "auto":
             n_verts = vertices_from_edges(edges.select(SRC, DST)).count()
             mode = (
@@ -141,7 +154,7 @@ def pagerank(
             )
         return _pagerank(
             spark, edges, damping, tol, max_iters, p, checkpointer,
-            checkpoint_every, hub_threshold, salt_buckets,
+            checkpoint_every, hub_threshold, salt_buckets, weight_col,
         )
 
 
@@ -221,9 +234,18 @@ def _pagerank_broadcast(
 
 def _pagerank(
     spark, edges, damping, tol, max_iters, p, checkpointer,
-    checkpoint_every, hub_threshold, salt_buckets,
+    checkpoint_every, hub_threshold, salt_buckets, weight_col=None,
 ) -> RunResult:
-    e = dedup_edges(edges)
+    weighted = weight_col is not None
+    if weighted:
+        # Duplicate (src, dst) edges fold into one summed weight.
+        e = (
+            edges.select(SRC, DST, F.col(weight_col).cast("double").alias("w"))
+            .groupBy(SRC, DST)
+            .agg(F.sum("w").alias("w"))
+        )
+    else:
+        e = dedup_edges(edges)
     verts = vertices_from_edges(e)
     n = verts.count()
 
@@ -234,7 +256,11 @@ def _pagerank(
     e = e.persist()
     e.count()
 
-    deg = out_degrees(e)
+    if weighted:
+        # Out-strength W(u) — the weighted analogue of the degree pre-pass.
+        deg = e.groupBy(F.col(SRC).alias(ID)).agg(F.sum("w").alias("out_degree"))
+    else:
+        deg = out_degrees(e)
 
     def init() -> DataFrame:
         return materialize(
@@ -259,10 +285,12 @@ def _pagerank(
     def step(cur: DataFrame, superstep: int):
         dm = dangling["mass"]
         senders = cur.where(F.col("out_degree") > 0).select(
-            F.col(ID), (F.col("rank") / F.col("out_degree")).alias("m")
+            F.col(ID), (F.col("rank") / F.col("out_degree")).alias("m0")
         )
+        m_expr = (F.col("m0") * F.col("w")) if weighted else F.col("m0")
         msgs = e.join(senders, e[SRC] == senders[ID]).select(
-            *([DST, "salt", "m"] if hub_threshold is not None else [DST, "m"])
+            *([F.col(DST), F.col("salt")] if hub_threshold is not None else [F.col(DST)]),
+            m_expr.alias("m"),
         )
         if hub_threshold is not None:
             contribs = salted_agg(msgs, "m", "sum").withColumnRenamed("m", "contrib")

@@ -117,11 +117,16 @@ def _with(parts: list[str], final: str) -> str:
 # Oracle SQL generators — unrolled superstep CTE chains
 # ---------------------------------------------------------------------------
 
-def pagerank_sql(edges_sql: str, k: int, d: float = D) -> str:
+def pagerank_sql(edges_sql: str, k: int, d: float = D, weighted: bool = False) -> str:
+    """Unrolled k-superstep PageRank. ``weighted``: the edges view carries
+    a ``weight`` column; od becomes the out-strength SUM(weight) and each
+    contribution is rank/od * weight — mirrors algos.pagerank(weight_col)."""
+    deg_expr = "SUM(weight)" if weighted else "COUNT(*)"
+    con_expr = "SUM(s.rank / s.od * e.weight)" if weighted else "SUM(s.rank / s.od)"
     parts = [
         f"edges AS ({edges_sql})",
         f"verts AS ({_VERTS})",
-        "deg AS (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src)",
+        f"deg AS (SELECT src AS id, {deg_expr} AS od FROM edges GROUP BY src)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
         "st0 AS (SELECT v.id, COALESCE(d.od, 0) AS od,"
         " CAST(1 AS DOUBLE)/(SELECT n FROM nn) AS rank"
@@ -133,7 +138,7 @@ def pagerank_sql(edges_sql: str, k: int, d: float = D) -> str:
             f" FROM st{i} WHERE od = 0)"
         )
         parts.append(
-            f"con{i} AS (SELECT e.dst AS id, SUM(s.rank / s.od) AS c"
+            f"con{i} AS (SELECT e.dst AS id, {con_expr} AS c"
             f" FROM edges e JOIN st{i} s ON e.src = s.id AND s.od > 0"
             f" GROUP BY e.dst)"
         )
@@ -386,6 +391,18 @@ SQL_WEIGHTED_EDGES = (
     f"SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS weight"
     f" FROM ({SQL_CUST_SUPP_EDGES}) _we"
 )
+
+
+def q_pagerank_w_k5(spark, sf_dir):
+    """Weighted PageRank (out-strength normalization, [X13] type-2
+    edges), 5 supersteps, deterministic weights — vs the weighted
+    unrolled oracle."""
+    e = cust_supp_edges(spark, sf_dir).withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double"),
+    )
+    res = pagerank(spark, e, damping=D, tol=0.0, max_iters=5, weight_col="weight")
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
 def q_lpa_csr_k3(spark, sf_dir):
@@ -1005,6 +1022,7 @@ QUERIES = {
     "lpa_k3": q_lpa_k3,
     "lpa_csr_k3": q_lpa_csr_k3,
     "sssp_k5": q_sssp_k5,
+    "pagerank_w_k5": q_pagerank_w_k5,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
     "bfs_k4": q_bfs_k4,
@@ -1054,6 +1072,7 @@ ORACLES = {
     "lpa_k3": lpa_sql(SQL_PART_EDGES, 3),
     "lpa_csr_k3": lpa_sql(SQL_PART_EDGES, 3),
     "sssp_k5": sssp_sql(SQL_WEIGHTED_EDGES, 5),
+    "pagerank_w_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
     "triangle_count": triangle_count_sql(SQL_PART_EDGES),
     "triangles_per_vertex": triangles_per_vertex_sql(SQL_PART_EDGES),
     "bfs_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),

@@ -54,3 +54,44 @@ def test_pagerank_superstep_metrics(spark):
     res = _check(spark, g1_chain())
     assert res.supersteps == len(res.history)
     assert all("seconds" in h and "delta" in h for h in res.history)
+
+
+def test_pagerank_weighted_uniform_equals_unweighted(spark):
+    """All weights equal -> weighted PageRank == unweighted (W(u)=c·deg
+    cancels in rank/W·w)."""
+    from pyspark.sql import functions as F
+
+    pdf = g3_cliques()
+    edges = spark.createDataFrame(pdf)
+    w_edges = edges.withColumn("weight", F.lit(2.5))
+    a = {r["id"]: r["rank"]
+         for r in pagerank(spark, edges, tol=0.0, max_iters=8,
+                           mode="shuffle").state.collect()}
+    b = {r["id"]: r["rank"]
+         for r in pagerank(spark, w_edges, tol=0.0, max_iters=8,
+                           weight_col="weight").state.collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-12
+
+
+def test_pagerank_weighted_hand_computed(spark):
+    """3-vertex weighted graph vs a hand-rolled reference iteration."""
+    rows = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    res = pagerank(spark, edges, tol=0.0, max_iters=6, weight_col="weight")
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+
+    # reference: W(1)=4, W(2)=2; 3 dangling
+    import numpy as np
+
+    r = {1: 1 / 3, 2: 1 / 3, 3: 1 / 3}
+    d = 0.85
+    for _ in range(6):
+        dm = r[3]
+        c = {1: 0.0,
+             2: r[1] * 3.0 / 4.0,
+             3: r[1] * 1.0 / 4.0 + r[2] * 2.0 / 2.0}
+        r = {v: (1 - d) / 3 + d * (c[v] + dm / 3) for v in (1, 2, 3)}
+    assert set(got) == {1, 2, 3}
+    assert max(abs(got[v] - r[v]) for v in r) < 1e-12
+    assert np.isclose(sum(got.values()), 1.0)
