@@ -50,9 +50,24 @@ def _session(cpus: int, shuffle: int | None = None) -> SparkSession:
     # (measured 4x run-to-run swings on identical configs once burst credit
     # drained; ~250 MB/s sustained vs ~2 GB shuffle traffic per superstep).
     # Real clusters provision local NVMe for exactly this reason.
-    local_dir = os.environ.get("CHAOS_SPARK_LOCAL_DIR", "/dev/shm/chaos-spark-local")
+    # Headroom gate (ADVICE r2): tmpfs "spill" is RAM — if /dev/shm lacks
+    # headroom for the expected shuffle, an OOM-kill replaces a slowdown.
+    # Default only when >= CHAOS_TMPFS_MIN_FREE_GB (16) is free; an
+    # explicit CHAOS_SPARK_LOCAL_DIR always wins (set it to a disk path
+    # for graphs whose shuffle exceeds RAM).
+    local_dir = os.environ.get("CHAOS_SPARK_LOCAL_DIR")
+    if local_dir is None:
+        import shutil
+
+        min_free = float(os.environ.get("CHAOS_TMPFS_MIN_FREE_GB", "16")) * 2**30
+        try:
+            if shutil.disk_usage("/dev/shm").free >= min_free:
+                local_dir = "/dev/shm/chaos-spark-local"
+        except OSError:
+            pass
     try:
-        os.makedirs(local_dir, exist_ok=True)
+        if local_dir:
+            os.makedirs(local_dir, exist_ok=True)
     except OSError:
         local_dir = None
     extra = {"spark.driver.memory": os.environ.get("CHAOS_SPARK_DRIVER_MEM", "32g")}

@@ -49,19 +49,24 @@ def als(
     num_sweeps: int = 10,
     seed: int = 42,
     num_partitions: int | None = None,
+    init_fn=None,
 ) -> RunResult:
     """ALS over ``ratings(src, dst, weight)`` (user src -> item dst).
 
     Returns state ``(id, side, vec)`` with side in {'user','item'};
     ``history`` records per-sweep train RMSE. One sweep = item update
     then user update (two half-supersteps), matching the classic order.
+
+    ``init_fn(id_col, seed) -> array<double> Column``: overrides the
+    default xxhash64-derived init — an arithmetic-only init lets a DuckDB
+    oracle reproduce the run exactly (xxhash64 is not portable SQL).
     """
     p = num_partitions or choose_num_partitions(spark, ratings.count() * 2)
     with superstep_conf(spark, p):
-        return _als(spark, ratings, rank, reg, num_sweeps, seed, p)
+        return _als(spark, ratings, rank, reg, num_sweeps, seed, p, init_fn)
 
 
-def _als(spark, ratings, rank, reg, num_sweeps, seed, p) -> RunResult:
+def _als(spark, ratings, rank, reg, num_sweeps, seed, p, init_fn=None) -> RunResult:
     from ..shipping import ensure_shipped
 
     ensure_shipped(spark)
@@ -75,11 +80,10 @@ def _als(spark, ratings, rank, reg, num_sweeps, seed, p) -> RunResult:
 
     users = e.select(F.col(SRC).alias("id")).distinct()
     items = e.select(F.col(DST).alias("id")).distinct()
-    u_vec = materialize(
-        users.select("id", _init_vec_expr(F.col("id"), rank, seed).alias("vec"))
-    )
+    iv = init_fn or (lambda id_col, s: _init_vec_expr(id_col, rank, s))
+    u_vec = materialize(users.select("id", iv(F.col("id"), seed).alias("vec")))
     i_vec = materialize(
-        items.select("id", _init_vec_expr(F.col("id"), rank, seed + 1).alias("vec"))
+        items.select("id", iv(F.col("id"), seed + 1).alias("vec"))
     )
     u_vec.count(), i_vec.count()
 

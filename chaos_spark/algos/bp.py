@@ -50,18 +50,25 @@ def belief_propagation(
     tol: float = 1e-6,
     max_iters: int = 50,
     num_partitions: int | None = None,
+    phi_fn=None,
 ) -> RunResult:
     """Sum-product BP over the undirected closure of ``edges``.
 
     Returns state = per-vertex beliefs ``(id, b1)`` (P[x=1], so b0=1-b1);
     ``history`` has per-superstep max message delta.
+
+    ``phi_fn(id_col, which) -> Column``: overrides the default
+    xxhash64-derived node potential — an arithmetic-only potential lets a
+    DuckDB oracle reproduce a fixed-k run exactly (xxhash64 is not
+    portable SQL). Must return P[x=which] with phi(id,0)+phi(id,1)=1.
     """
     p = num_partitions or choose_num_partitions(spark, edges.count() * 2)
     with superstep_conf(spark, p):
-        return _bp(spark, edges, coupling, tol, max_iters, p)
+        return _bp(spark, edges, coupling, tol, max_iters, p, phi_fn)
 
 
-def _bp(spark, edges, coupling, tol, max_iters, p) -> RunResult:
+def _bp(spark, edges, coupling, tol, max_iters, p, phi_fn=None) -> RunResult:
+    phi = phi_fn or _phi
     w = float(coupling)
     # directed message set: one message per direction of each undirected edge
     dedges = symmetrize(edges.select(SRC, DST)).where(F.col(SRC) != F.col(DST))
@@ -94,8 +101,8 @@ def _bp(spark, edges, coupling, tol, max_iters, p) -> RunResult:
         # message 0/0 = NaN; NaN then never converges (Spark orders NaN
         # above all doubles). Subtracting max(l0, l1) before exponentiating
         # cancels exactly in the normalization, so semantics are unchanged.
-        l0 = F.col("s0") - F.log("r0") + F.log(_phi(F.col("u"), 0))
-        l1 = F.col("s1") - F.log("r1") + F.log(_phi(F.col("u"), 1))
+        l0 = F.col("s0") - F.log("r0") + F.log(phi(F.col("u"), 0))
+        l1 = F.col("s1") - F.log("r1") + F.log(phi(F.col("u"), 1))
         mx = F.greatest(l0, l1)
         base = (
             dedges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
@@ -136,8 +143,8 @@ def _bp(spark, edges, coupling, tol, max_iters, p) -> RunResult:
         F.sum(F.log("m0")).alias("s0"), F.sum(F.log("m1")).alias("s1")
     )
     # Same log-sum-exp shift as the message update (hub-degree underflow).
-    bl0 = F.log(_phi(F.col(DST), 0)) + F.col("s0")
-    bl1 = F.log(_phi(F.col(DST), 1)) + F.col("s1")
+    bl0 = F.log(phi(F.col(DST), 0)) + F.col("s0")
+    bl1 = F.log(phi(F.col(DST), 1)) + F.col("s1")
     bmx = F.greatest(bl0, bl1)
     beliefs = tot.select(
         F.col(DST).alias(ID),

@@ -36,10 +36,14 @@ def connected_components(
     num_partitions: int | None = None,
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 5,
+    num_edges: int | None = None,
 ) -> RunResult:
     """Hash-min WCC; result ``state`` has columns ``(id, label)`` where
-    ``label`` is the minimum vertex id of the component."""
-    p = num_partitions or choose_num_partitions(spark, edges.count() * 2)
+    ``label`` is the minimum vertex id of the component.
+    ``num_edges``: caller-known |E| — skips the partition-sizing count."""
+    p = num_partitions or choose_num_partitions(
+        spark, (num_edges if num_edges is not None else edges.count()) * 2
+    )
     with superstep_conf(spark, p):
         return _cc(spark, edges, max_iters, p, checkpointer, checkpoint_every)
 

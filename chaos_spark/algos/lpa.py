@@ -42,9 +42,13 @@ def label_propagation(
     num_partitions: int | None = None,
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 5,
+    num_edges: int | None = None,
 ) -> RunResult:
-    """Synchronous LPA; result ``state`` has columns ``(id, label)``."""
-    p = num_partitions or choose_num_partitions(spark, edges.count() * 2)
+    """Synchronous LPA; result ``state`` has columns ``(id, label)``.
+    ``num_edges``: caller-known |E| — skips the partition-sizing count."""
+    p = num_partitions or choose_num_partitions(
+        spark, (num_edges if num_edges is not None else edges.count()) * 2
+    )
     with superstep_conf(spark, p):
         return _lpa(spark, edges, max_iters, p, checkpointer, checkpoint_every)
 

@@ -104,6 +104,7 @@ def pagerank(
     salt_buckets: int = 8,
     mode: str = "auto",
     weight_col: str | None = None,
+    num_edges: int | None = None,
 ) -> RunResult:
     """Run PageRank to L-inf convergence < ``tol``; returns RunResult whose
     ``state`` has columns ``(id, out_degree, rank)``.
@@ -112,9 +113,16 @@ def pagerank(
     edges): duplicate (src, dst) weights are summed, out-links are
     normalized by each vertex's out-STRENGTH W(u) = Σw, messages carry
     ``rank(u)/W(u) · w(e)``, dangling = W(u) = 0. The state's
-    ``out_degree`` column is then the (double) out-strength. Weighted
-    runs use the shuffle path (broadcast regime not implemented for
-    weights).
+    ``out_degree`` column is then the (double) out-strength. Weight
+    domain: strictly positive, non-NULL — a NULL or non-positive weight
+    would make a vertex neither a sender (``W > 0`` is NULL) nor
+    dangling, silently leaking rank mass, so the setup pass RAISES on
+    any such row. Both shuffle and broadcast regimes support weights
+    (broadcast senders carry ``rank/W``; the edge side scales by ``w``).
+
+    ``num_edges``: caller-known |E| (skips one counting scan when the
+    caller already materialized the edge table — every algo entry point
+    accepts this; see VERDICT r2 item 7).
 
     ``mode``:
     - ``"shuffle"`` — scatter join + exchange from groupBy(dst): the
@@ -132,14 +140,12 @@ def pagerank(
     aggregation) to absorb reducer skew on hub vertices; broadcast mode
     has no reducer at all, so skew is moot there.
     """
-    p = num_partitions or choose_num_partitions(spark, edges.count())
+    p = num_partitions or choose_num_partitions(
+        spark, num_edges if num_edges is not None else edges.count()
+    )
     with superstep_conf(spark, p):
         if mode not in ("auto", "shuffle", "broadcast"):
             raise ValueError(f"unknown mode {mode!r}")
-        if weight_col is not None:
-            if mode == "broadcast":
-                raise ValueError("weighted PageRank supports the shuffle path only")
-            mode = "shuffle"
         if mode == "auto":
             n_verts = vertices_from_edges(edges.select(SRC, DST)).count()
             mode = (
@@ -150,7 +156,7 @@ def pagerank(
         if mode == "broadcast" and hub_threshold is None:
             return _pagerank_broadcast(
                 spark, edges, damping, tol, max_iters, p,
-                checkpointer, checkpoint_every,
+                checkpointer, checkpoint_every, weight_col,
             )
         return _pagerank(
             spark, edges, damping, tol, max_iters, p, checkpointer,
@@ -158,22 +164,59 @@ def pagerank(
         )
 
 
+def _validate_weights(edges, weight_col: str) -> None:
+    """Raise on NULL/non-positive edge weights (see pagerank docstring:
+    such rows make a vertex neither sender nor dangling — silent rank-mass
+    leak). One-time CollectLimit action at setup; the scan short-circuits
+    on the first offending row."""
+    bad = (
+        edges.where(F.col(weight_col).isNull() | (F.col(weight_col) <= 0))
+        .select(SRC, DST, weight_col)
+        .first()
+    )
+    if bad is not None:
+        raise ValueError(
+            f"weighted PageRank requires strictly positive non-NULL weights; "
+            f"offending edge: {bad.asDict()}"
+        )
+
+
+def _prep_weighted(edges, weight_col: str):
+    """Weighted edge table: duplicate (src, dst) weights summed."""
+    return (
+        edges.select(SRC, DST, F.col(weight_col).cast("double").alias("w"))
+        .groupBy(SRC, DST)
+        .agg(F.sum("w").alias("w"))
+    )
+
+
 def _pagerank_broadcast(
-    spark, edges, damping, tol, max_iters, p, checkpointer, checkpoint_every
+    spark, edges, damping, tol, max_iters, p, checkpointer, checkpoint_every,
+    weight_col=None,
 ) -> RunResult:
     """Zero-shuffle superstep: edges hash-partitioned on dst ONCE; the
     sender vector (id, rank/outdeg) is broadcast; groupBy(dst) reuses the
     static layout (no exchange); the apply join sees both sides hash-
     partitioned on the join key (no exchange). Every superstep is
     embarrassingly parallel over the edge partitions — Spark's image of
-    X-Stream's in-memory streaming partitions."""
-    e = dedup_edges(edges)
+    X-Stream's in-memory streaming partitions. Weighted runs broadcast
+    ``rank/W`` and scale by ``w`` on the (static, co-partitioned) edge
+    side — the zero-shuffle property is weight-agnostic."""
+    weighted = weight_col is not None
+    if weighted:
+        _validate_weights(edges, weight_col)
+        e = _prep_weighted(edges, weight_col)
+    else:
+        e = dedup_edges(edges)
     verts = vertices_from_edges(e)
     n = verts.count()
 
     e = e.repartition(p, F.col(DST)).persist()
     e.count()
-    deg = out_degrees(e)
+    if weighted:
+        deg = e.groupBy(F.col(SRC).alias(ID)).agg(F.sum("w").alias("out_degree"))
+    else:
+        deg = out_degrees(e)
 
     def init() -> DataFrame:
         return materialize(
@@ -198,10 +241,11 @@ def _pagerank_broadcast(
         senders = cur.where(F.col("out_degree") > 0).select(
             F.col(ID), (F.col("rank") / F.col("out_degree")).alias("m")
         )
+        m_expr = (F.col("m") * F.col("w")) if weighted else F.col("m")
         contribs = (
             e.join(F.broadcast(senders), e[SRC] == senders[ID])
             .groupBy(DST)
-            .agg(F.sum("m").alias("contrib"))
+            .agg(F.sum(m_expr).alias("contrib"))
         )
         new = cur.join(contribs, cur[ID] == contribs[DST], "left").select(
             cur[ID],
@@ -238,12 +282,8 @@ def _pagerank(
 ) -> RunResult:
     weighted = weight_col is not None
     if weighted:
-        # Duplicate (src, dst) edges fold into one summed weight.
-        e = (
-            edges.select(SRC, DST, F.col(weight_col).cast("double").alias("w"))
-            .groupBy(SRC, DST)
-            .agg(F.sum("w").alias("w"))
-        )
+        _validate_weights(edges, weight_col)
+        e = _prep_weighted(edges, weight_col)
     else:
         e = dedup_edges(edges)
     verts = vertices_from_edges(e)

@@ -131,9 +131,18 @@ def brute_topk(
     )
 
 
+def _round_half_up_9(x: float) -> float:
+    """Round to 9 decimals, half AWAY from zero — the exact rounding of
+    both Spark ``F.round`` (RoundingMode.HALF_UP) and DuckDB ``ROUND``.
+    Python's builtin ``round`` is banker's (half-to-even): a plane dot
+    landing exactly on a 5e-10 boundary would bucket the query differently
+    from the corpus side, silently costing recall."""
+    return math.copysign(math.floor(abs(x) * 1e9 + 0.5) / 1e9, x)
+
+
 def _query_signatures(query_vec: list[float], bits: int, tables: int) -> list[int]:
     """Driver-side signature of the query vector — pure Python mirror of
-    signature_col (same planes, same round-9 sign test)."""
+    signature_col (same planes, same HALF_UP round-9 sign test)."""
     dim = len(query_vec)
     out = []
     for t in range(tables):
@@ -143,7 +152,7 @@ def _query_signatures(query_vec: list[float], bits: int, tables: int) -> list[in
             dot = 0.0
             for x, p in zip(query_vec, plane):
                 dot += float(x) * p
-            if round(dot, 9) > 0:
+            if _round_half_up_9(dot) > 0:
                 sig |= 1 << b
         out.append(sig)
     return out

@@ -50,10 +50,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .checkpoint import CheckpointManager
 from .engine import (
     RunResult,
     choose_num_partitions,
     materialize,
+    resume_or_init,
     run_supersteps,
     superstep_conf,
 )
@@ -213,6 +215,12 @@ class CsrGraph:
         if undirected:
             e = symmetrize(e)
         self.spark = spark
+        # Build-time cache: the deduped table feeds FOUR one-time consumers
+        # (count, block build, vertex pre-pass, degree pre-pass); uncached,
+        # each re-ran the distinct shuffle (round 2 billed ~4x the dedup
+        # cost to every CSR build). Released at the end of __init__ — the
+        # supersteps never touch the row table in disk layout.
+        e = e.persist()
         self.num_edges = e.count()
         self.p = num_partitions or choose_num_partitions(spark, self.num_edges)
         self.layout = layout
@@ -225,18 +233,22 @@ class CsrGraph:
         import uuid
 
         self.token = token or f"g-{uuid.uuid4().hex}-{self.num_edges}-{self.p}"
+        # Worker-cache namespace: includes the edge count so a pinned token
+        # whose underlying data changed (marker-triggered block REBUILD,
+        # see _build_disk_blocks) can never serve stale in-memory blocks
+        # cached by a still-alive Python worker from the previous epoch.
+        self.cache_token = f"{self.token}#{self.num_edges}"
         self.block_dir = None
         self.blocks = None
         self._ephemeral_blocks = token is None
         if layout == "disk":
             self._build_disk_blocks(e)
-            # vertex/degree pre-passes straight off the (uncached) edge
-            # plan — one extra scan at build, zero steady-state cost.
             self.verts = vertices_from_edges(e).persist()
             self.num_vertices = self.verts.count()
             self.out_deg = out_degrees(e).persist()
             self.out_deg.count()
             self.edges = e  # logical only; supersteps never touch it
+            e.unpersist()  # build-time cache done; verts/degrees stay
             return
         self.edges = (
             e.withColumn("part", F.pmod(F.xxhash64(F.col(SRC)), F.lit(self.p)).cast("int"))
@@ -244,6 +256,7 @@ class CsrGraph:
             .persist()
         )
         self.edges.count()
+        e.unpersist()  # build-time cache superseded by the row layout
         self.verts = vertices_from_edges(self.edges).persist()
         self.num_vertices = self.verts.count()
         # Degree pre-pass while the row layout is cached (PageRank init).
@@ -273,7 +286,22 @@ class CsrGraph:
         self.block_dir = _os.path.join(_DISK_BLOCK_BASE, f"{safe}-p{self.p}")
         marker = _os.path.join(self.block_dir, "_BUILT")
         if _os.path.exists(marker):
-            return
+            # Validate the marker before trusting cached blocks: a caller-
+            # pinned token whose underlying edge data changed (regenerated
+            # parquet at the same path) must trigger a rebuild, not a
+            # silent gather over a stale graph. The marker records
+            # "{num_edges}:{p}"; any mismatch (or an old-format marker)
+            # wipes and rebuilds.
+            try:
+                with open(marker) as f:
+                    stored = f.read().strip()
+            except OSError:
+                stored = ""
+            if stored == f"{self.num_edges}:{self.p}":
+                return
+            import shutil
+
+            shutil.rmtree(self.block_dir, ignore_errors=True)
         _os.makedirs(self.block_dir, exist_ok=True)
         bd = self.block_dir
 
@@ -305,7 +333,7 @@ class CsrGraph:
         )
         assert sum(r["n"] for r in built) == self.num_edges
         with open(marker, "w") as f:
-            f.write(str(self.num_edges))
+            f.write(f"{self.num_edges}:{self.p}")
 
     def part_col(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.p)).cast("int")
@@ -344,12 +372,17 @@ def pagerank_csr(
     packed: bool = False,
     token: str | None = None,
     layout: str | None = None,
+    checkpointer: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
 ) -> RunResult:
     """PageRank via the CSR kernel; same semantics as algos.pagerank
     (dangling mass redistributed, L-inf convergence). ``token``: pass a
     stable value ONLY when repeated calls use the identical edge set and
     partition count — lets worker block caches (and disk blocks) survive
-    across calls."""
+    across calls. ``checkpointer``: durable resume every
+    ``checkpoint_every`` supersteps (disk layout only); the post-restore
+    ``realign`` hook re-establishes the hash(id, p) partitioning the
+    block routing depends on."""
     g = CsrGraph(
         spark, edges, num_partitions, packed=packed, token=token, layout=layout
     )
@@ -358,29 +391,38 @@ def pagerank_csr(
     # (the kernel's strict check would catch it, but don't invite it).
     with superstep_conf(spark, g.p, adaptive=False):
         if g.layout == "disk":
-            res = _pagerank_csr_disk(spark, g, damping, tol, max_iters)
+            res = _pagerank_csr_disk(
+                spark, g, damping, tol, max_iters, checkpointer, checkpoint_every
+            )
         else:
             res = _pagerank_csr(spark, g, damping, tol, max_iters)
     g.unpersist()
     return res
 
 
-def _pagerank_csr_disk(spark, g: CsrGraph, damping, tol, max_iters) -> RunResult:
+def _pagerank_csr_disk(
+    spark, g: CsrGraph, damping, tol, max_iters,
+    checkpointer: CheckpointManager | None = None, checkpoint_every: int = 5,
+) -> RunResult:
     n = g.num_vertices
-    state = materialize(
-        g.align_state(
-            g.verts.join(g.out_deg, ID, "left").select(
-                F.col(ID),
-                F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
-                F.lit(1.0 / n).alias("rank"),
-            )
+
+    def init() -> DataFrame:
+        return g.verts.join(g.out_deg, ID, "left").select(
+            F.col(ID),
+            F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
+            F.lit(1.0 / n).alias("rank"),
         )
-    )
+
+    raw, start = resume_or_init(spark, checkpointer, init)
+    # Fresh init and checkpoint-loaded parquet both go through align_state:
+    # the kernel routes state rows to disk blocks by physical partition
+    # index, so the hash(id, p) layout is a hard precondition either way.
+    state = materialize(g.align_state(raw))
     row = state.agg(
         F.sum(F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)).alias("dm")
     ).first()
     dangling = {"mass": float(row["dm"] or 0.0)}
-    token, block_dir = g.token, g.block_dir
+    token, block_dir = g.cache_token, g.block_dir
 
     def kernel(batches):
         from pyspark import TaskContext
@@ -426,7 +468,10 @@ def _pagerank_csr_disk(spark, g: CsrGraph, damping, tol, max_iters) -> RunResult
         delta = float(stats_row["delta"])
         return new, {"converged": delta < tol, "delta": delta}
 
-    result = run_supersteps(state, step, max_iters, realign=g.align_state)
+    result = run_supersteps(
+        state, step, max_iters, checkpointer, checkpoint_every,
+        start_superstep=start, realign=g.align_state,
+    )
     result.state = result.state.select(ID, "out_degree", "rank")
     return result
 
@@ -520,28 +565,36 @@ def cc_csr(
     packed: bool = False,
     token: str | None = None,
     layout: str | None = None,
+    checkpointer: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
 ) -> RunResult:
     """Hash-min connected components via the CSR kernel; exact same
-    fixed point as algos.connected_components (min is order-free)."""
+    fixed point as algos.connected_components (min is order-free).
+    ``checkpointer``: durable resume (disk layout only)."""
     g = CsrGraph(
         spark, edges, num_partitions, undirected=True, packed=packed,
         token=token, layout=layout,
     )
     with superstep_conf(spark, g.p, adaptive=False):
         if g.layout == "disk":
-            res = _cc_csr_disk(spark, g, max_iters)
+            res = _cc_csr_disk(spark, g, max_iters, checkpointer, checkpoint_every)
         else:
             res = _cc_csr(spark, g, max_iters)
     g.unpersist()
     return res
 
 
-def _cc_csr_disk(spark, g: CsrGraph, max_iters) -> RunResult:
-    state = materialize(
-        g.align_state(g.verts.select(F.col(ID), F.col(ID).alias("label")))
-    )
+def _cc_csr_disk(
+    spark, g: CsrGraph, max_iters,
+    checkpointer: CheckpointManager | None = None, checkpoint_every: int = 5,
+) -> RunResult:
+    def init() -> DataFrame:
+        return g.verts.select(F.col(ID), F.col(ID).alias("label"))
+
+    raw, start = resume_or_init(spark, checkpointer, init)
+    state = materialize(g.align_state(raw))
     state.count()
-    token, block_dir = g.token, g.block_dir
+    token, block_dir = g.cache_token, g.block_dir
 
     def kernel(batches):
         from pyspark import TaskContext
@@ -572,7 +625,10 @@ def _cc_csr_disk(spark, g: CsrGraph, max_iters) -> RunResult:
         changed = new.agg(F.sum(F.col("_chg").cast("long")).alias("c")).first()["c"]
         return new, {"converged": int(changed or 0) == 0, "changed": int(changed or 0)}
 
-    result = run_supersteps(state, step, max_iters, realign=g.align_state)
+    result = run_supersteps(
+        state, step, max_iters, checkpointer, checkpoint_every,
+        start_superstep=start, realign=g.align_state,
+    )
     result.state = result.state.select(ID, "label")
     return result
 
@@ -587,6 +643,8 @@ def lpa_csr(
     max_iters: int = 10,
     num_partitions: int | None = None,
     token: str | None = None,
+    checkpointer: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
 ) -> RunResult:
     """Synchronous LPA via the CSR disk-block kernel; exact same fixed
     point as algos.label_propagation (deterministic min-label ties).
@@ -598,17 +656,22 @@ def lpa_csr(
     among the CSR-path algorithms [BJ north_star]."""
     g = CsrGraph(spark, edges, num_partitions, undirected=True, token=token)
     with superstep_conf(spark, g.p, adaptive=False):
-        res = _lpa_csr_disk(spark, g, max_iters)
+        res = _lpa_csr_disk(spark, g, max_iters, checkpointer, checkpoint_every)
     g.unpersist()
     return res
 
 
-def _lpa_csr_disk(spark, g: CsrGraph, max_iters) -> RunResult:
-    state = materialize(
-        g.align_state(g.verts.select(F.col(ID), F.col(ID).alias("label")))
-    )
+def _lpa_csr_disk(
+    spark, g: CsrGraph, max_iters,
+    checkpointer: CheckpointManager | None = None, checkpoint_every: int = 5,
+) -> RunResult:
+    def init() -> DataFrame:
+        return g.verts.select(F.col(ID), F.col(ID).alias("label"))
+
+    raw, start = resume_or_init(spark, checkpointer, init)
+    state = materialize(g.align_state(raw))
     state.count()
-    token, block_dir = g.token, g.block_dir
+    token, block_dir = g.cache_token, g.block_dir
 
     def kernel(batches):
         from pyspark import TaskContext
@@ -657,7 +720,10 @@ def _lpa_csr_disk(spark, g: CsrGraph, max_iters) -> RunResult:
         )
         return new, {"converged": changed == 0, "changed": changed}
 
-    result = run_supersteps(state, step, max_iters, realign=g.align_state)
+    result = run_supersteps(
+        state, step, max_iters, checkpointer, checkpoint_every,
+        start_superstep=start, realign=g.align_state,
+    )
     result.state = result.state.select(ID, "label")
     return result
 

@@ -153,9 +153,17 @@ def corpus_to_graph(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]
     At 10^12 files both hints are wrong (a persist would spill the corpus,
     the maps exceed broadcast limits) and the shuffle plan is correct, so
     both are gated on the measured corpus size.
+
+    Sizing probe: ``limit(MAX+1).count()`` — LocalLimit caps every
+    partition's read at MAX+1 rows, so deciding "small or huge" never
+    full-scans a 10^12-file corpus (round 2 ran a FULL uncached count
+    here, executing the corpus plan once extra before the persist).
+    The cached corpus is CALLER-owned: unpersist it after materializing
+    the returned frames; leaving it cached only costs storage-pool
+    memory, never correctness.
     """
-    n = corpus.count()
-    small = n <= BROADCAST_CORPUS_MAX_FILES
+    probe = corpus.limit(BROADCAST_CORPUS_MAX_FILES + 1).count()
+    small = probe <= BROADCAST_CORPUS_MAX_FILES
     if small:
         corpus = corpus.persist()
     refs = extract_references(corpus)

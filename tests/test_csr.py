@@ -104,3 +104,34 @@ def test_csr_partition_invariance(spark):
     r11 = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=5, num_partitions=11))
     ks = sorted(r4)
     assert np.allclose([r4[k] for k in ks], [r11[k] for k in ks], rtol=0, atol=1e-12)
+
+
+def test_disk_blocks_rebuilt_on_changed_edges(spark, tmp_path, monkeypatch):
+    """ADVICE r2: a caller-pinned token whose underlying edge data changed
+    must trigger a block rebuild, never silently reuse stale CSR blocks.
+    The _BUILT marker records "{num_edges}:{p}" and is validated on reuse."""
+    import os
+
+    import chaos_spark.csr as csr_mod
+
+    monkeypatch.setattr(csr_mod, "_DISK_BLOCK_BASE", str(tmp_path))
+
+    e1 = spark.createDataFrame(g1_chain())
+    g_old = csr_mod.CsrGraph(spark, e1, num_partitions=4, token="pinned")
+    marker = os.path.join(g_old.block_dir, "_BUILT")
+    with open(marker) as f:
+        assert f.read() == f"{g_old.num_edges}:4"
+
+    # "Regenerated" data at the same token: a superset graph whose old src
+    # ids are a subset of the new vertex set (the silent-wrong-graph case).
+    e2 = spark.createDataFrame(g3_cliques())
+    g_new = csr_mod.CsrGraph(spark, e2, num_partitions=4, token="pinned")
+    assert g_new.num_edges != g_old.num_edges
+    with open(marker) as f:
+        assert f.read() == f"{g_new.num_edges}:4"
+    # and the rebuilt blocks drive a correct run on the NEW graph
+    res = csr_mod.cc_csr(spark, e2, num_partitions=4, token="pinned")
+    labels = {r["id"]: r["label"] for r in res.state.collect()}
+    from tests.oracles import cc_oracle
+
+    assert labels == cc_oracle(g3_cliques())
