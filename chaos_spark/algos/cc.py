@@ -51,7 +51,13 @@ def connected_components(
 def _cc(spark, edges, max_iters, p, checkpointer, checkpoint_every) -> RunResult:
     und = symmetrize(edges)
     verts = vertices_from_edges(und)
-    und = partition_edges(und, p, by=SRC).persist()
+    # sort=False: unlike PageRank's static full-table scatter, CC's
+    # frontier SHRINKS every superstep, so the one-time within-partition
+    # sort never amortizes (r3 A/B at sf0.1: no measurable difference,
+    # 9.7 s sorted vs 9.4 s unsorted over 4 runs each — and at 10^12
+    # edges the sort is hours of pure waste). r2's recorded 16.3 s was
+    # bench run-order JVM state, not cc code (standalone: 7.8-12 s).
+    und = partition_edges(und, p, by=SRC, sort=False).persist()
     und.count()
 
     def init() -> DataFrame:

@@ -95,3 +95,40 @@ def test_pagerank_weighted_hand_computed(spark):
     assert set(got) == {1, 2, 3}
     assert max(abs(got[v] - r[v]) for v in r) < 1e-12
     assert np.isclose(sum(got.values()), 1.0)
+
+
+def test_pagerank_weighted_broadcast_equals_shuffle(spark):
+    """Weighted PageRank through the zero-shuffle broadcast regime must
+    match the shuffle path (r2 verdict item 6) — the broadcast senders
+    carry rank/W and the static edge side scales by w."""
+    from pyspark.sql import functions as F
+
+    pdf = g4_powerlaw(scale=9, num_edges=2000)
+    edges = spark.createDataFrame(pdf).withColumn(
+        "weight", ((F.col("src") * 13 + F.col("dst")) % 17 + 1).cast("double")
+    )
+    a = pagerank(spark, edges, tol=1e-9, max_iters=80, weight_col="weight",
+                 mode="shuffle")
+    b = pagerank(spark, edges, tol=1e-9, max_iters=80, weight_col="weight",
+                 mode="broadcast")
+    ra = {r["id"]: r["rank"] for r in a.state.collect()}
+    rb = {r["id"]: r["rank"] for r in b.state.collect()}
+    assert set(ra) == set(rb)
+    ks = sorted(ra)
+    assert np.allclose([ra[k] for k in ks], [rb[k] for k in ks], rtol=0, atol=1e-9)
+    assert a.supersteps == b.supersteps
+
+
+def test_pagerank_weighted_rejects_bad_weights(spark):
+    """NULL or non-positive weights silently leak rank mass (neither
+    sender nor dangling) — the setup pass must raise instead."""
+    import pytest as _pytest
+
+    rows = [(1, 2, 1.0), (2, 3, 0.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    with _pytest.raises(ValueError, match="strictly positive"):
+        pagerank(spark, edges, max_iters=2, weight_col="weight")
+    rows2 = [(1, 2, 1.0), (2, 3, None)]
+    edges2 = spark.createDataFrame(rows2, "src long, dst long, weight double")
+    with _pytest.raises(ValueError, match="strictly positive"):
+        pagerank(spark, edges2, max_iters=2, weight_col="weight")
