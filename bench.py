@@ -78,6 +78,14 @@ def _session(cpus: int, shuffle: int | None = None) -> SparkSession:
     except OSError:
         local_dir = None
     extra = {"spark.driver.memory": os.environ.get("CHAOS_SPARK_DRIVER_MEM", "32g")}
+    # ContextCleaner forced-GC cadence (session.py default 30s). The 30s
+    # default exists to reclaim dead localCheckpoint blocks; with
+    # engine.release_state freeing superseded states explicitly, the
+    # forced FULL GC is mostly redundant inside a timed run — expose it
+    # so the scaling protocol can A/B GC pauses vs host noise.
+    gc_int = os.environ.get("CHAOS_PERIODIC_GC")
+    if gc_int:
+        extra["spark.cleaner.periodicGC.interval"] = gc_int
     if local_dir:
         extra["spark.local.dir"] = local_dir
     return get_spark(
@@ -120,16 +128,24 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     extras["pagerank_iter_sec"] = round(pr.total_seconds, 3)
     extras["pagerank_setup_sec"] = round(pr_sec - pr.total_seconds, 3)
 
-    # Same convergence via the CSR kernel path (north-star mechanism).
+    # Same convergence via the CSR entry point. mode="auto" (default)
+    # encodes the measured join/CSR crossover (BENCH/SCALING_ANALYSIS.md
+    # §3c): at sf0.1 (~60k edges) the join path serves this call; at the
+    # 64M-edge scaling graph the kernel does. The forced-kernel time is
+    # kept in extras so the raw CSR path stays attributable per round.
     from chaos_spark.csr import pagerank_csr
 
     t0 = time.time()
-    pr2 = pagerank_csr(spark, e_cs, tol=1e-6, max_iters=100)
+    pr2 = pagerank_csr(spark, e_cs, tol=1e-6, max_iters=100, num_edges=n_edges_cs)
     csr_sec = time.time() - t0
     timings["pagerank_conv_csr"] = round(csr_sec, 3)
     extras["pagerank_csr_supersteps"] = pr2.supersteps
     extras["pagerank_csr_iter_sec"] = round(pr2.total_seconds, 3)
     extras["pagerank_csr_build_sec"] = round(csr_sec - pr2.total_seconds, 3)
+    t0 = time.time()
+    pr3 = pagerank_csr(spark, e_cs, tol=1e-6, max_iters=100, mode="csr")
+    extras["pagerank_csr_forced_sec"] = round(time.time() - t0, 3)
+    extras["pagerank_csr_forced_iter_sec"] = round(pr3.total_seconds, 3)
 
     e_part = harness.part_edges(spark, sf_dir).persist()
     n_edges_part = e_part.count()
@@ -147,8 +163,15 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         lambda: label_propagation(spark, e_part, max_iters=10, num_edges=n_edges_part),
     )
     extras["lpa_iter_sec"] = round(lpa_res.total_seconds, 3)
-    lpa_csr_res = timed("lpa_csr_10", lambda: lpa_csr(spark, e_part, max_iters=10))
+    lpa_csr_res = timed(
+        "lpa_csr_10",
+        lambda: lpa_csr(spark, e_part, max_iters=10, num_edges=n_edges_part),
+    )
     extras["lpa_csr_iter_sec"] = round(lpa_csr_res.total_seconds, 3)
+    t0 = time.time()
+    lpa_forced = lpa_csr(spark, e_part, max_iters=10, mode="csr")
+    extras["lpa_csr_forced_sec"] = round(time.time() - t0, 3)
+    extras["lpa_csr_forced_iter_sec"] = round(lpa_forced.total_seconds, 3)
     timed("triangles", lambda: triangle_count(spark, e_part))
     timed("degree", lambda: harness.q_out_degree(spark, sf_dir).count())
     timed("spmv", lambda: harness.q_spmv_acctbal(spark, sf_dir).count())
@@ -200,12 +223,12 @@ def run_compare_paths(sf_dir: str, cpus: int, write_md: bool = True) -> dict:
     leg("pagerank_conv", lambda: pagerank(
         spark, e_cs, tol=1e-6, max_iters=100, num_edges=n_cs))
     leg("pagerank_conv_csr", lambda: pagerank_csr(
-        spark, e_cs, tol=1e-6, max_iters=100))
+        spark, e_cs, tol=1e-6, max_iters=100, mode="csr"))
     e_part = harness.part_edges(spark, sf_dir).persist()
     n_part = e_part.count()
     leg("lpa_10", lambda: label_propagation(
         spark, e_part, max_iters=10, num_edges=n_part))
-    leg("lpa_csr_10", lambda: lpa_csr(spark, e_part, max_iters=10))
+    leg("lpa_csr_10", lambda: lpa_csr(spark, e_part, max_iters=10, mode="csr"))
     out["csr_wins_pagerank"] = (
         out["pagerank_conv_csr"]["wall_sec"] <= out["pagerank_conv"]["wall_sec"]
     )
@@ -300,6 +323,7 @@ def _pagerank_throughput(
             "supersteps_per_sec": round(supersteps / wall, 4),
             "edges_per_sec": round(n_edges * supersteps / wall, 1),
             "per_superstep_sec": [h["seconds"] for h in res.history],
+            "per_superstep_steal": [h.get("steal_frac") for h in res.history],
         }
     elif algo_path in ("broadcast", "shuffle"):
         import functools
@@ -323,6 +347,7 @@ def _pagerank_throughput(
         "supersteps_per_sec": round(supersteps / wall, 4),
         "edges_per_sec": round(n_edges * supersteps / wall, 1),
         "per_superstep_sec": [h["seconds"] for h in res.history],
+        "per_superstep_steal": [h.get("steal_frac") for h in res.history],
     }
 
 
@@ -342,6 +367,13 @@ def _throughput_subprocess(
 
     env = dict(os.environ)
     env.setdefault("CHAOS_AQE", "off")
+    # Steady-state legs are SHORT (20 supersteps); engine.release_state
+    # frees superseded state blocks explicitly, so the periodic forced GC
+    # is pure pause risk inside a timed window (r4 A/B: 30s STW GC ->
+    # 73-78 s superstep stalls on an idle host; 10min -> clean 3-8 s
+    # steps). Production keeps the 30s cadence (now concurrent, see
+    # session.py); the protocol pins it out of the measurement window.
+    env.setdefault("CHAOS_PERIODIC_GC", "10min")
     # CSR disk blocks + ephemeral state resets on tmpfs too (see _session).
     env.setdefault("CHAOS_CSR_BLOCK_DIR", "/dev/shm/chaos_csr_blocks")
     env.setdefault("TMPDIR", "/dev/shm/chaos-tmp")
@@ -376,12 +408,25 @@ def _agg_runs(runs: list[dict]) -> dict:
     med = statistics.median(
         statistics.median(r["per_superstep_sec"]) for r in runs
     )
+    # Host-noise attribution: per-superstep hypervisor steal fraction
+    # (engine records /proc/stat deltas). This VM throttles sustained
+    # load at the hypervisor — r4 measured 3-8 s supersteps on a
+    # just-idled host vs 15-75 s mid-campaign with steal visible — so
+    # every recorded number carries its own steal evidence. The metric
+    # below is NOT filtered by steal; the steal trail is reported
+    # alongside so a reader can judge what the host took.
+    steals = [
+        s for r in runs for s in (r.get("per_superstep_steal") or []) if s is not None
+    ]
     return {
         "repeats": len(runs),
         "edges": runs[0]["edges"],
         "supersteps_each": runs[0]["supersteps"],
         "wall_sec_each": [r["wall_sec"] for r in runs],
         "per_superstep_sec_all": [r["per_superstep_sec"] for r in runs],
+        "per_superstep_steal_all": [r.get("per_superstep_steal") for r in runs],
+        "median_steal_frac": round(statistics.median(steals), 4) if steals else None,
+        "max_steal_frac": round(max(steals), 4) if steals else None,
         "median_superstep_sec": round(med, 3),
         "steady_supersteps_per_sec": round(1.0 / med, 4),
         "steady_edges_per_sec": round(runs[0]["edges"] / med, 1),
@@ -392,7 +437,7 @@ def _agg_runs(runs: list[dict]) -> dict:
 def run_scaling(
     scale: int, num_edges: int, supersteps: int, lo: int, hi: int,
     algo_path: str = "join", shuffle: int | None = None, write_md: bool = True,
-    repeats: int = 3,
+    repeats: int = 3, cooldown: int = 90,
 ) -> dict:
     path = _ensure_bench_graph(scale, num_edges)
     SparkSession.getActiveSession() and SparkSession.getActiveSession().stop()
@@ -404,9 +449,20 @@ def run_scaling(
     # more partitions than cores.
     shuffle = shuffle or hi * 4
     runs_lo, runs_hi = [], []
+    # cooldown: idle gap before each timed leg. This hypervisor throttles
+    # SUSTAINED load (r4 A/B: a leg run after idle = 3-8 s supersteps;
+    # the same leg mid-campaign = 15-75 s with steal spikes), so back-to-
+    # back legs are serially correlated through the host's burst budget —
+    # the gap makes legs closer to IID samples of the engine, and the
+    # per-superstep steal trail recorded with every leg shows the
+    # residual. Set --cooldown 0 to reproduce the uncooled protocol.
     for _ in range(repeats):  # interleaved A/B/A/B… to decorrelate host drift
-        runs_lo.append(_throughput_subprocess(lo, path, supersteps, shuffle, algo_path))
-        runs_hi.append(_throughput_subprocess(hi, path, supersteps, shuffle, algo_path))
+        for cpus, bucket in ((lo, runs_lo), (hi, runs_hi)):
+            if cooldown:
+                time.sleep(cooldown)
+            bucket.append(
+                _throughput_subprocess(cpus, path, supersteps, shuffle, algo_path)
+            )
     a_lo, a_hi = _agg_runs(runs_lo), _agg_runs(runs_hi)
     eff = (a_hi["steady_edges_per_sec"] / a_lo["steady_edges_per_sec"]) / (hi / lo)
     import statistics
@@ -451,10 +507,10 @@ wall second across all repeats of a leg (the north metric is per-superstep
 throughput; medians are the defensible statistic on a shared VM). Raw wall
 times for every repeat are listed for transparency.
 
-| config | graph edges | supersteps x repeats | median superstep (s) | steady supersteps/sec | steady edges/sec | wall (s) each |
-|---|---|---|---|---|---|---|
-| local[{lo}] | {rl['edges']:,} | {rl['supersteps_each']} x {rl['repeats']} | {rl['median_superstep_sec']} | {rl['steady_supersteps_per_sec']} | {rl['steady_edges_per_sec']:,} | {rl['wall_sec_each']} |
-| local[{hi}] | {rh['edges']:,} | {rh['supersteps_each']} x {rh['repeats']} | {rh['median_superstep_sec']} | {rh['steady_supersteps_per_sec']} | {rh['steady_edges_per_sec']:,} | {rh['wall_sec_each']} |
+| config | graph edges | supersteps x repeats | median superstep (s) | steady supersteps/sec | steady edges/sec | median/max steal | wall (s) each |
+|---|---|---|---|---|---|---|---|
+| local[{lo}] | {rl['edges']:,} | {rl['supersteps_each']} x {rl['repeats']} | {rl['median_superstep_sec']} | {rl['steady_supersteps_per_sec']} | {rl['steady_edges_per_sec']:,} | {rl['median_steal_frac']}/{rl['max_steal_frac']} | {rl['wall_sec_each']} |
+| local[{hi}] | {rh['edges']:,} | {rh['supersteps_each']} x {rh['repeats']} | {rh['median_superstep_sec']} | {rh['steady_supersteps_per_sec']} | {rh['steady_edges_per_sec']:,} | {rh['median_steal_frac']}/{rh['max_steal_frac']} | {rh['wall_sec_each']} |
 
 **Scaling efficiency (steady-state) = (thr[{hi}] / thr[{lo}]) / {hi // lo} = {out['scaling_efficiency']}**
 (target >= 0.8: {"PASS" if out['pass'] else "FAIL"})
@@ -488,6 +544,7 @@ def main() -> None:
                     choices=["join", "shuffle", "broadcast", "csr"], default="csr")
     ap.add_argument("--shuffle", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cooldown", type=int, default=90)
     ap.add_argument("--no-md", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
@@ -500,6 +557,7 @@ def main() -> None:
             args.scale, args.edges, args.supersteps, args.lo, args.hi,
             algo_path=args.algo_path, shuffle=args.shuffle,
             write_md=not args.no_md, repeats=args.repeats,
+            cooldown=args.cooldown,
         )
     else:
         out = run_default(args.sf_dir, args.cpus)

@@ -22,6 +22,7 @@ from ..engine import (
     RunResult,
     choose_num_partitions,
     materialize,
+    materialize_stats,
     resume_or_init,
     run_supersteps,
     superstep_conf,
@@ -77,13 +78,18 @@ def _cc(spark, edges, max_iters, p, checkpointer, checkpoint_every) -> RunResult
             F.col(DST), F.col("label")
         )
         mins = msgs.groupBy(DST).agg(F.min("label").alias("_ml"))
-        new = cur.join(mins, cur[ID] == mins[DST], "left").select(
+        new = cur.join(
+            mins.hint("shuffle_hash"), cur[ID] == mins[DST], "left"
+        ).select(
             cur[ID],
             F.least(cur["label"], F.coalesce(F.col("_ml"), cur["label"])).alias("label"),
             (F.col("_ml").isNotNull() & (F.col("_ml") < cur["label"])).alias("changed"),
         )
-        new = materialize(new, superstep)
-        changed = new.where(F.col("changed")).count()
+        # `changed` stays in the state — it is next superstep's frontier.
+        new, m = materialize_stats(
+            new, [F.sum(F.col("changed").cast("long")).alias("c")]
+        )
+        changed = int(m["c"] or 0)
         return new, {"converged": changed == 0, "changed": changed}
 
     result = run_supersteps(

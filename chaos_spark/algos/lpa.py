@@ -28,6 +28,7 @@ from ..engine import (
     RunResult,
     choose_num_partitions,
     materialize,
+    materialize_stats,
     resume_or_init,
     run_supersteps,
     superstep_conf,
@@ -72,15 +73,19 @@ def _lpa(spark, edges, max_iters, p, checkpointer, checkpoint_every) -> RunResul
         best = counts.groupBy(DST).agg(
             F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("_nl")
         )
-        new = cur.join(best, cur[ID] == best[DST], "left").select(
+        new = cur.join(
+            best.hint("shuffle_hash"), cur[ID] == best[DST], "left"
+        ).select(
             cur[ID],
             F.coalesce(F.col("_nl"), cur["label"]).alias("label"),
             (F.coalesce(F.col("_nl"), cur["label"]) != cur["label"]).alias("_changed"),
         )
-        new = materialize(new, superstep)
-        changed = int(
-            new.agg(F.sum(F.col("_changed").cast("long")).alias("c")).first()["c"] or 0
+        new, m = materialize_stats(
+            new,
+            [F.sum(F.col("_changed").cast("long")).alias("c")],
+            keep=[ID, "label"],
         )
+        changed = int(m["c"] or 0)
         return new, {"converged": changed == 0, "changed": changed}
 
     result = run_supersteps(

@@ -15,10 +15,16 @@ Spark mapping of the superstep (SURVEY §2.1):
              (X-Stream's in-buffer pre-aggregation for free), optionally
              salted two-level for hub skew ([C15] §3.2 work-stealing
              analogue)
-  apply    = left join back + coalesce(contrib, 0) + dangling scalar
-  barrier  = localCheckpoint(eager) + one agg action that computes BOTH
-             the L-inf delta (convergence) and the next dangling mass,
-             so each superstep costs exactly one extra action.
+  apply    = shuffle_hash left join back + coalesce(contrib, 0) +
+             dangling scalar (hinted: both sides are hash-partitioned on
+             the key, so SHJ joins in place; un-hinted, Catalyst's size
+             estimate auto-broadcasts the |V|-row contribs table — a
+             per-superstep driver collect that serializes)
+  barrier  = engine.materialize_stats: ONE eager localCheckpoint whose
+             job also computes the L-inf delta (convergence) and the next
+             dangling mass inline via observe/CollectMetrics — no second
+             scan, no final-agg exchange, no per-superstep re-planned
+             aggregate query.
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ from ..engine import (
     RunResult,
     choose_num_partitions,
     materialize,
+    materialize_stats,
     resume_or_init,
     run_supersteps,
     superstep_conf,
@@ -247,7 +254,9 @@ def _pagerank_broadcast(
             .groupBy(DST)
             .agg(F.sum(m_expr).alias("contrib"))
         )
-        new = cur.join(contribs, cur[ID] == contribs[DST], "left").select(
+        new = cur.join(
+            contribs.hint("shuffle_hash"), cur[ID] == contribs[DST], "left"
+        ).select(
             cur[ID],
             cur["out_degree"],
             cur["rank"].alias("_prev"),
@@ -257,15 +266,18 @@ def _pagerank_broadcast(
                 * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
             ).alias("rank"),
         )
-        new = materialize(new, superstep)
-        stats_row = new.agg(
-            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
-            F.sum(
-                F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
-            ).alias("dm"),
-        ).first()
-        dangling["mass"] = float(stats_row["dm"] or 0.0)
-        delta = float(stats_row["delta"])
+        new, m = materialize_stats(
+            new,
+            [
+                F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+                F.sum(
+                    F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
+                ).alias("dm"),
+            ],
+            keep=[ID, "out_degree", "rank"],
+        )
+        dangling["mass"] = float(m["dm"] or 0.0)
+        delta = float(m["delta"] or 0.0)
         return new, {"converged": delta < tol, "delta": delta}
 
     result = run_supersteps(
@@ -336,7 +348,9 @@ def _pagerank(
             contribs = salted_agg(msgs, "m", "sum").withColumnRenamed("m", "contrib")
         else:
             contribs = msgs.groupBy(DST).agg(F.sum("m").alias("contrib"))
-        new = cur.join(contribs, cur[ID] == contribs[DST], "left").select(
+        new = cur.join(
+            contribs.hint("shuffle_hash"), cur[ID] == contribs[DST], "left"
+        ).select(
             cur[ID],
             cur["out_degree"],
             cur["rank"].alias("_prev"),
@@ -346,17 +360,18 @@ def _pagerank(
                 * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
             ).alias("rank"),
         )
-        new = materialize(new, superstep)
-        stats_row = new.agg(
-            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
-            F.sum(
-                F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
-            ).alias("dm"),
-        ).first()
-        dangling["mass"] = float(stats_row["dm"] or 0.0)
-        delta = float(stats_row["delta"])
-        # return the cached frame itself (unpersist must hit the cache);
-        # `_prev` is ignored by the next superstep and dropped at the end
+        new, m = materialize_stats(
+            new,
+            [
+                F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+                F.sum(
+                    F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
+                ).alias("dm"),
+            ],
+            keep=[ID, "out_degree", "rank"],
+        )
+        dangling["mass"] = float(m["dm"] or 0.0)
+        delta = float(m["delta"] or 0.0)
         return new, {"converged": delta < tol, "delta": delta}
 
     result = run_supersteps(

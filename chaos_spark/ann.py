@@ -133,11 +133,19 @@ def brute_topk(
 
 def _round_half_up_9(x: float) -> float:
     """Round to 9 decimals, half AWAY from zero — the exact rounding of
-    both Spark ``F.round`` (RoundingMode.HALF_UP) and DuckDB ``ROUND``.
-    Python's builtin ``round`` is banker's (half-to-even): a plane dot
-    landing exactly on a 5e-10 boundary would bucket the query differently
-    from the corpus side, silently costing recall."""
-    return math.copysign(math.floor(abs(x) * 1e9 + 0.5) / 1e9, x)
+    both Spark ``F.round`` (BigDecimal HALF_UP on the double's exact
+    decimal value) and DuckDB ``ROUND``. Python's builtin ``round`` is
+    banker's (half-to-even): a plane dot landing exactly on a 5e-10
+    boundary would bucket the query differently from the corpus side,
+    silently costing recall. Decimal, not ``floor(|x|*1e9+0.5)``: the
+    binary multiply by 1e9 can itself round a value sitting at the
+    boundary differently than the decimal expansion does (ADVICE r3)."""
+    import decimal
+
+    d = decimal.Decimal(x).quantize(
+        decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+    )
+    return float(d)
 
 
 def _query_signatures(query_vec: list[float], bits: int, tables: int) -> list[int]:

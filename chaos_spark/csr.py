@@ -55,6 +55,7 @@ from .engine import (
     RunResult,
     choose_num_partitions,
     materialize,
+    materialize_stats,
     resume_or_init,
     run_supersteps,
     superstep_conf,
@@ -166,6 +167,35 @@ def _gather_positions(token: str, pid: int, ids_sorted: np.ndarray, src: np.ndar
 
 _DISK_BLOCK_BASE = _os.environ.get("CHAOS_CSR_BLOCK_DIR", "/tmp/chaos_csr_blocks")
 
+# Join-vs-CSR crossover (measured, BENCH/SCALING_ANALYSIS.md §3c): below
+# ~1M edges the per-partition blocks are ~tens-of-k edges and the Python
+# worker round trip is pure overhead — the JVM join path wins (sf0.1:
+# join 14.7 s vs CSR 17.0 s iterate). At 64M edges the paths are at
+# per-superstep parity and CSR wins on scaling + amortized setup. The
+# ``mode="auto"`` default in pagerank_csr/cc_csr/lpa_csr encodes that
+# crossover so callers never run the measured-slower path by default.
+CSR_AUTO_MIN_EDGES = int(_os.environ.get("CHAOS_CSR_MIN_EDGES", 1_000_000))
+
+
+def _auto_dispatch_to_join(
+    edges: DataFrame,
+    mode: str,
+    num_edges: int | None,
+    token: str | None,
+    layout: str | None,
+    packed: bool = False,
+) -> int | None:
+    """Shared auto-mode gate: return the edge count if the JOIN path should
+    serve this call, else None (run the CSR kernel). Explicit CSR knobs
+    (token/layout/packed or mode="csr") always force the kernel — tests
+    and block-reusing callers pin the path they mean."""
+    if mode == "csr" or token is not None or layout is not None or packed:
+        return None
+    if mode != "auto":
+        raise ValueError(f"unknown mode {mode!r} (expected 'auto' or 'csr')")
+    ne = num_edges if num_edges is not None else edges.count()
+    return ne if ne < CSR_AUTO_MIN_EDGES else None
+
 
 def _load_disk_block(token: str, pid: int, block_dir: str):
     """Worker-side block fetch: bytes-capped cache, else the .npz file.
@@ -183,6 +213,8 @@ def _load_disk_block(token: str, pid: int, block_dir: str):
             "dst_unique": z["du"],
             "dst_inverse": z["di"].astype(np.int64),
         }
+        if "w" in z.files:  # type-2 (weighted) block
+            blk["w"] = z["w"]
     _cache_put(key, blk)
     return blk
 
@@ -236,6 +268,7 @@ class CsrGraph:
         token: str | None = None,
         packed: bool = False,
         layout: str | None = None,
+        weight_col: str | None = None,
     ):
         from .shipping import ensure_shipped
 
@@ -244,7 +277,23 @@ class CsrGraph:
             layout = "packed" if packed else "disk"
         if layout not in ("disk", "rows", "packed"):
             raise ValueError(f"unknown CSR layout {layout!r}")
-        e = dedup_edges(edges)
+        # Type-2 (weighted) edges ([X13] §5.1): blocks gain a float64 ``w``
+        # array; duplicate (src,dst) weights are SUMMED (same prep as the
+        # join paths). Disk layout only — it is the scale path, and the
+        # r1 cogroup layouts exist for A/B tests, not new features.
+        self.weighted = weight_col is not None
+        if self.weighted:
+            if undirected or layout != "disk":
+                raise ValueError(
+                    "weighted CSR supports the directed disk layout only"
+                )
+            e = (
+                edges.select(SRC, DST, F.col(weight_col).cast("double").alias("w"))
+                .groupBy(SRC, DST)
+                .agg(F.sum("w").alias("w"))
+            )
+        else:
+            e = dedup_edges(edges)
         if undirected:
             e = symmetrize(e)
         self.spark = spark
@@ -254,7 +303,20 @@ class CsrGraph:
         # cost to every CSR build). Released at the end of __init__ — the
         # supersteps never touch the row table in disk layout.
         e = e.persist()
-        self.num_edges = e.count()
+        # One action: |E| + an order-independent content fingerprint
+        # (xor-fold of xxhash64(src,dst) over the deduped edge SET). The
+        # fingerprint goes into the _BUILT marker and the worker-cache
+        # namespace so a pinned token whose data was REGENERATED with the
+        # same edge count (same-scale re-gen, permuted edges) can never be
+        # served stale blocks — ADVICE r3: the count-only marker missed
+        # exactly that case. xor, not sum: no ANSI overflow, order-free.
+        fp_cols = [F.col(SRC), F.col(DST)] + ([F.col("w")] if self.weighted else [])
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*fp_cols)).alias("fp"),
+        ).first()
+        self.num_edges = int(row["n"])
+        self.edge_fp = int(row["fp"] or 0)
         self.p = num_partitions or choose_num_partitions(spark, self.num_edges)
         self.layout = layout
         self.packed = layout == "packed"
@@ -266,11 +328,13 @@ class CsrGraph:
         import uuid
 
         self.token = token or f"g-{uuid.uuid4().hex}-{self.num_edges}-{self.p}"
-        # Worker-cache namespace: includes the edge count so a pinned token
-        # whose underlying data changed (marker-triggered block REBUILD,
-        # see _build_disk_blocks) can never serve stale in-memory blocks
-        # cached by a still-alive Python worker from the previous epoch.
-        self.cache_token = f"{self.token}#{self.num_edges}"
+        # Worker-cache namespace: includes the edge count AND the content
+        # fingerprint so a pinned token whose underlying data changed
+        # (marker-triggered block REBUILD, see _build_disk_blocks) can
+        # never serve stale in-memory blocks cached by a still-alive
+        # Python worker from the previous epoch — even when the
+        # regenerated data has the same |E|.
+        self.cache_token = f"{self.token}#{self.num_edges}:{self.edge_fp:x}"
         self.block_dir = None
         self.blocks = None
         self._ephemeral_blocks = token is None
@@ -278,7 +342,16 @@ class CsrGraph:
             self._build_disk_blocks(e)
             self.verts = vertices_from_edges(e).persist()
             self.num_vertices = self.verts.count()
-            self.out_deg = out_degrees(e).persist()
+            if self.weighted:
+                # Out-STRENGTH W(u) = Σw — the weighted degree pre-pass;
+                # the state's out_degree column is then a double.
+                self.out_deg = (
+                    e.groupBy(F.col(SRC).alias(ID))
+                    .agg(F.sum("w").alias("out_degree"))
+                    .persist()
+                )
+            else:
+                self.out_deg = out_degrees(e).persist()
             self.out_deg.count()
             self.edges = e  # logical only; supersteps never touch it
             e.unpersist()  # build-time cache done; verts/degrees stay
@@ -323,14 +396,15 @@ class CsrGraph:
             # pinned token whose underlying edge data changed (regenerated
             # parquet at the same path) must trigger a rebuild, not a
             # silent gather over a stale graph. The marker records
-            # "{num_edges}:{p}"; any mismatch (or an old-format marker)
-            # wipes and rebuilds.
+            # "{num_edges}:{p}:{content_fp}" — the xor-fold fingerprint
+            # catches same-count-different-edges regeneration too; any
+            # mismatch (or an old-format marker) wipes and rebuilds.
             try:
                 with open(marker) as f:
                     stored = f.read().strip()
             except OSError:
                 stored = ""
-            if stored == f"{self.num_edges}:{self.p}":
+            if stored == f"{self.num_edges}:{self.p}:{self.edge_fp:x}":
                 return
             import shutil
 
@@ -338,14 +412,18 @@ class CsrGraph:
         _os.makedirs(self.block_dir, exist_ok=True)
         bd = self.block_dir
 
+        weighted = self.weighted
+
         def build(batches):
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            srcs, dsts = [], []
+            srcs, dsts, ws = [], [], []
             for pdf in batches:
                 srcs.append(pdf[SRC].to_numpy(dtype=np.int64))
                 dsts.append(pdf[DST].to_numpy(dtype=np.int64))
+                if weighted:
+                    ws.append(pdf["w"].to_numpy(dtype=np.float64))
             n = 0
             if srcs:
                 src = np.concatenate(srcs)
@@ -353,9 +431,12 @@ class CsrGraph:
                 n = len(src)
                 if n:
                     du, di = np.unique(dst, return_inverse=True)
+                    arrays = {"src": src, "du": du, "di": di.astype(np.uint32)}
+                    if weighted:
+                        arrays["w"] = np.concatenate(ws)
                     tmp = _os.path.join(bd, f".part-{pid}.{_os.getpid()}.tmp")
                     with open(tmp, "wb") as f:
-                        np.savez(f, src=src, du=du, di=di.astype(np.uint32))
+                        np.savez(f, **arrays)
                     _os.replace(tmp, _os.path.join(bd, f"part-{pid}.npz"))
             yield pd.DataFrame({"part": [pid], "n": [n]})
 
@@ -366,7 +447,7 @@ class CsrGraph:
         )
         assert sum(r["n"] for r in built) == self.num_edges
         with open(marker, "w") as f:
-            f.write(f"{self.num_edges}:{self.p}")
+            f.write(f"{self.num_edges}:{self.p}:{self.edge_fp:x}")
 
     def part_col(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.p)).cast("int")
@@ -407,17 +488,45 @@ def pagerank_csr(
     layout: str | None = None,
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 5,
+    mode: str = "auto",
+    num_edges: int | None = None,
+    weight_col: str | None = None,
 ) -> RunResult:
     """PageRank via the CSR kernel; same semantics as algos.pagerank
     (dangling mass redistributed, L-inf convergence). ``token``: pass a
-    stable value ONLY when repeated calls use the identical edge set and
-    partition count — lets worker block caches (and disk blocks) survive
-    across calls. ``checkpointer``: durable resume every
+    stable value ONLY when repeated calls use the identical edge set,
+    weighting, and partition count — lets worker block caches (and disk
+    blocks) survive across calls. ``checkpointer``: durable resume every
     ``checkpoint_every`` supersteps (disk layout only); the post-restore
     ``realign`` hook re-establishes the hash(id, p) partitioning the
-    block routing depends on."""
+    block routing depends on.
+
+    ``weight_col``: weighted PageRank over type-2 blocks — duplicate
+    (src,dst) weights summed, out-strength normalization, messages scaled
+    by the block's float64 ``w`` array; same weight-domain validation as
+    algos.pagerank (positive, non-NULL).
+
+    ``mode="auto"`` (default): below CSR_AUTO_MIN_EDGES the call is
+    served by the measured-faster JOIN path (identical semantics, same
+    oracle); ``mode="csr"`` or any explicit token/layout/packed pins the
+    kernel. ``num_edges``: caller-known |E| skips the dispatch count."""
+    ne = _auto_dispatch_to_join(edges, mode, num_edges, token, layout, packed)
+    if ne is not None:
+        from .algos.pagerank import pagerank as _pr_join
+
+        return _pr_join(
+            spark, edges, damping=damping, tol=tol, max_iters=max_iters,
+            num_partitions=num_partitions, checkpointer=checkpointer,
+            checkpoint_every=checkpoint_every, num_edges=ne,
+            weight_col=weight_col,
+        )
+    if weight_col is not None:
+        from .algos.pagerank import _validate_weights
+
+        _validate_weights(edges, weight_col)
     g = CsrGraph(
-        spark, edges, num_partitions, packed=packed, token=token, layout=layout
+        spark, edges, num_partitions, packed=packed, token=token, layout=layout,
+        weight_col=weight_col,
     )
     # AQE pinned off: the disk layout's state->block routing is by physical
     # partition index; AQE coalescing would change partition counts mid-run
@@ -473,6 +582,8 @@ def _pagerank_csr_disk(
         m = np.where(od > 0, rank / np.where(od > 0, od, 1.0), 0.0)
         pos = _gather_positions(token, pid, ids[order], blk["src"])
         m_edge = m[order][pos]
+        if "w" in blk:  # type-2 block: message = rank(u)/W(u) * w(e)
+            m_edge = m_edge * blk["w"]
         partial = np.bincount(blk["dst_inverse"], weights=m_edge,
                               minlength=len(blk["dst_unique"]))
         yield pd.DataFrame({DST: blk["dst_unique"], "partial": partial})
@@ -481,7 +592,15 @@ def _pagerank_csr_disk(
         dm = dangling["mass"]
         partials = cur.mapInPandas(kernel, schema=f"{DST} long, partial double")
         contribs = partials.groupBy(DST).agg(F.sum("partial").alias("contrib"))
-        new = cur.join(contribs, cur[ID] == contribs[DST], "left").select(
+        # shuffle_hash hint: without it Catalyst's propagated size estimate
+        # auto-BROADCASTs contribs (|V| rows!) — a per-superstep driver
+        # collect + rebuild that serializes and grows with parallelism
+        # (r3's stage timeline shows the broadcast stages). Both sides are
+        # already hash-partitioned p on the join key, so SHJ joins in
+        # place: zero extra exchange, no SMJ sort, fully parallel.
+        new = cur.join(
+            contribs.hint("shuffle_hash"), cur[ID] == contribs[DST], "left"
+        ).select(
             cur[ID],
             cur["out_degree"],
             cur["rank"].alias("_prev"),
@@ -491,15 +610,18 @@ def _pagerank_csr_disk(
                 * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
             ).alias("rank"),
         )
-        new = materialize(new, superstep)
-        stats_row = new.agg(
-            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
-            F.sum(
-                F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
-            ).alias("dm"),
-        ).first()
-        dangling["mass"] = float(stats_row["dm"] or 0.0)
-        delta = float(stats_row["delta"])
+        new, m = materialize_stats(
+            new,
+            [
+                F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+                F.sum(
+                    F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
+                ).alias("dm"),
+            ],
+            keep=[ID, "out_degree", "rank"],
+        )
+        dangling["mass"] = float(m["dm"] or 0.0)
+        delta = float(m["delta"] or 0.0)
         return new, {"converged": delta < tol, "delta": delta}
 
     result = run_supersteps(
@@ -560,7 +682,9 @@ def _pagerank_csr(spark, g: CsrGraph, damping, tol, max_iters) -> RunResult:
             kernel, schema=f"{DST} long, partial double"
         )
         contribs = partials.groupBy(DST).agg(F.sum("partial").alias("contrib"))
-        new = cur.join(contribs, cur[ID] == contribs[DST], "left").select(
+        new = cur.join(
+            contribs.hint("shuffle_hash"), cur[ID] == contribs[DST], "left"
+        ).select(
             cur[ID],
             cur["out_degree"],
             cur["part"],
@@ -571,15 +695,18 @@ def _pagerank_csr(spark, g: CsrGraph, damping, tol, max_iters) -> RunResult:
                 * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
             ).alias("rank"),
         )
-        new = materialize(new, superstep)
-        stats_row = new.agg(
-            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
-            F.sum(
-                F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
-            ).alias("dm"),
-        ).first()
-        dangling["mass"] = float(stats_row["dm"] or 0.0)
-        delta = float(stats_row["delta"])
+        new, m = materialize_stats(
+            new,
+            [
+                F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+                F.sum(
+                    F.when(F.col("out_degree") == 0, F.col("rank")).otherwise(0.0)
+                ).alias("dm"),
+            ],
+            keep=[ID, "out_degree", "part", "rank"],
+        )
+        dangling["mass"] = float(m["dm"] or 0.0)
+        delta = float(m["delta"] or 0.0)
         return new, {"converged": delta < tol, "delta": delta}
 
     result = run_supersteps(state, step, max_iters)
@@ -601,10 +728,22 @@ def cc_csr(
     layout: str | None = None,
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 5,
+    mode: str = "auto",
+    num_edges: int | None = None,
 ) -> RunResult:
     """Hash-min connected components via the CSR kernel; exact same
     fixed point as algos.connected_components (min is order-free).
-    ``checkpointer``: durable resume (disk layout only)."""
+    ``checkpointer``: durable resume (disk layout only).
+    ``mode``/``num_edges``: join/CSR crossover dispatch, see pagerank_csr."""
+    ne = _auto_dispatch_to_join(edges, mode, num_edges, token, layout, packed)
+    if ne is not None:
+        from .algos.cc import connected_components as _cc_join
+
+        return _cc_join(
+            spark, edges, max_iters=max_iters, num_partitions=num_partitions,
+            checkpointer=checkpointer, checkpoint_every=checkpoint_every,
+            num_edges=ne,
+        )
     g = CsrGraph(
         spark, edges, num_partitions, undirected=True, packed=packed,
         token=token, layout=layout,
@@ -651,14 +790,20 @@ def _cc_csr_disk(
     def step(cur: DataFrame, superstep: int):
         partials = cur.mapInPandas(kernel, schema=f"{DST} long, ml long")
         mins = partials.groupBy(DST).agg(F.min("ml").alias("ml"))
-        new = cur.join(mins, cur[ID] == mins[DST], "left").select(
+        new = cur.join(
+            mins.hint("shuffle_hash"), cur[ID] == mins[DST], "left"
+        ).select(
             cur[ID],
             F.least(cur["label"], F.coalesce(F.col("ml"), cur["label"])).alias("label"),
             (F.coalesce(F.col("ml"), cur["label"]) < cur["label"]).alias("_chg"),
         )
-        new = materialize(new, superstep)
-        changed = new.agg(F.sum(F.col("_chg").cast("long")).alias("c")).first()["c"]
-        return new, {"converged": int(changed or 0) == 0, "changed": int(changed or 0)}
+        new, m = materialize_stats(
+            new,
+            [F.sum(F.col("_chg").cast("long")).alias("c")],
+            keep=[ID, "label"],
+        )
+        changed = int(m["c"] or 0)
+        return new, {"converged": changed == 0, "changed": changed}
 
     result = run_supersteps(
         state, step, max_iters, checkpointer, checkpoint_every,
@@ -680,6 +825,8 @@ def lpa_csr(
     token: str | None = None,
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 5,
+    mode: str = "auto",
+    num_edges: int | None = None,
 ) -> RunResult:
     """Synchronous LPA via the CSR disk-block kernel; exact same fixed
     point as algos.label_propagation (deterministic min-label ties).
@@ -688,7 +835,17 @@ def lpa_csr(
     lexsort + run-length pass — X-Stream's in-buffer pre-aggregation for
     the two-level LPA fold; the JVM side then sums partial counts and
     picks max_by(label, (cnt, -label)) per dst. The north star names LPA
-    among the CSR-path algorithms [BJ north_star]."""
+    among the CSR-path algorithms [BJ north_star].
+    ``mode``/``num_edges``: join/CSR crossover dispatch, see pagerank_csr."""
+    ne = _auto_dispatch_to_join(edges, mode, num_edges, token, None)
+    if ne is not None:
+        from .algos.lpa import label_propagation as _lpa_join
+
+        return _lpa_join(
+            spark, edges, max_iters=max_iters, num_partitions=num_partitions,
+            checkpointer=checkpointer, checkpoint_every=checkpoint_every,
+            num_edges=ne,
+        )
     g = CsrGraph(spark, edges, num_partitions, undirected=True, token=token)
     with superstep_conf(spark, g.p, adaptive=False):
         res = _lpa_csr_disk(spark, g, max_iters, checkpointer, checkpoint_every)
@@ -745,15 +902,19 @@ def _lpa_csr_disk(
         best = counts.groupBy(DST).agg(
             F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("_nl")
         )
-        new = cur.join(best, cur[ID] == best[DST], "left").select(
+        new = cur.join(
+            best.hint("shuffle_hash"), cur[ID] == best[DST], "left"
+        ).select(
             cur[ID],
             F.coalesce(F.col("_nl"), cur["label"]).alias("label"),
             (F.coalesce(F.col("_nl"), cur["label"]) != cur["label"]).alias("_chg"),
         )
-        new = materialize(new, superstep)
-        changed = int(
-            new.agg(F.sum(F.col("_chg").cast("long")).alias("c")).first()["c"] or 0
+        new, m = materialize_stats(
+            new,
+            [F.sum(F.col("_chg").cast("long")).alias("c")],
+            keep=[ID, "label"],
         )
+        changed = int(m["c"] or 0)
         return new, {"converged": changed == 0, "changed": changed}
 
     result = run_supersteps(
@@ -791,15 +952,21 @@ def _cc_csr(spark, g: CsrGraph, max_iters) -> RunResult:
             kernel, schema=f"{DST} long, ml long"
         )
         mins = partials.groupBy(DST).agg(F.min("ml").alias("ml"))
-        new = cur.join(mins, cur[ID] == mins[DST], "left").select(
+        new = cur.join(
+            mins.hint("shuffle_hash"), cur[ID] == mins[DST], "left"
+        ).select(
             cur[ID],
             cur["part"],
             F.least(cur["label"], F.coalesce(F.col("ml"), cur["label"])).alias("label"),
             (F.coalesce(F.col("ml"), cur["label"]) < cur["label"]).alias("_chg"),
         )
-        new = materialize(new, superstep)
-        changed = new.agg(F.sum(F.col("_chg").cast("long")).alias("c")).first()["c"]
-        return new, {"converged": int(changed or 0) == 0, "changed": int(changed or 0)}
+        new, m = materialize_stats(
+            new,
+            [F.sum(F.col("_chg").cast("long")).alias("c")],
+            keep=[ID, "part", "label"],
+        )
+        changed = int(m["c"] or 0)
+        return new, {"converged": changed == 0, "changed": changed}
 
     result = run_supersteps(state, step, max_iters)
     result.state = result.state.select(ID, "label")

@@ -8,12 +8,14 @@ the new state is the barrier. What Catalyst cannot do — iteration, lineage
 truncation, convergence tests, durable checkpoints — lives here.
 
 Each algorithm supplies a ``step_fn(state, superstep) -> (new_state,
-stats)`` where ``new_state`` MUST already be materialized (use
-:func:`materialize`, i.e. ``localCheckpoint(eager=True)`` — the action is
-the superstep barrier AND the lineage truncation; plans otherwise grow
-unboundedly across iterations) and ``stats`` must contain ``converged:
-bool`` plus anything else (delta, changed rows, message counts) for the
-metrics trail. The runner durably checkpoints every ``checkpoint_every``
+stats)`` where ``new_state`` MUST already be materialized — preferably via
+:func:`materialize_stats`, which runs the superstep as ONE eager
+``localCheckpoint`` job that caches the state, truncates lineage, AND
+computes the convergence statistics inline (observe/CollectMetrics);
+:func:`materialize` (lazy) + a separate stats action is the legacy
+two-piece form — and ``stats`` must contain ``converged: bool`` plus
+anything else (delta, changed rows, message counts) for the metrics
+trail. The runner durably checkpoints every ``checkpoint_every``
 supersteps through a :class:`chaos_spark.checkpoint.CheckpointManager`
 (resume-able) and records per-superstep wall time (supersteps/sec is the
 north-star throughput metric). Old states' cached blocks are released by
@@ -29,7 +31,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 
 from .checkpoint import CheckpointManager
 
@@ -46,8 +48,51 @@ def materialize(df: DataFrame, superstep: int | None = None) -> DataFrame:
     dedicated job (~2x superstep cost on small graphs); plain persist
     leaves lineage growing, costing ~0.2 s/superstep of extra
     analysis/planning by superstep 8.
+
+    Prefer :func:`materialize_stats` inside superstep loops — it folds
+    the convergence statistics into the barrier job itself.
     """
     return df.localCheckpoint(eager=False)
+
+
+def materialize_stats(
+    df: DataFrame,
+    stats: list[Column],
+    keep: list[str] | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Superstep barrier + lineage truncation + convergence stats, ONE job.
+
+    Attaches the aggregate ``stats`` expressions as an ``observe``
+    (CollectMetrics) node over the pre-barrier rows, optionally projects
+    down to ``keep`` (dropping helper columns like ``_prev`` so they never
+    occupy cache), then triggers an EAGER ``localCheckpoint``. The
+    checkpoint's internal count is the superstep's single action; the
+    metrics ride its result-stage tasks and are read back via the
+    Observation listener.
+
+    This replaces the r1–r3 two-piece pattern {lazy localCheckpoint +
+    separate ``agg(...).first()`` action}. Both cost one job, but the old
+    pattern re-planned a fresh Aggregate query every superstep and ran a
+    partial-agg operator over the cached rows plus a single-task final-agg
+    stage after an extra exchange — a fixed, parallelism-independent tail
+    that BENCH/SCALING_ANALYSIS.md §2 measured growing 0.4 → 1.5 s from
+    local[4] to local[16] (the Amdahl term of the r3 scaling gate FAIL).
+
+    Exactly-once: the CollectMetrics node sits in the checkpoint job's
+    RESULT stage (above the message-shuffle exchange), where the scheduler
+    applies accumulator updates once per successful partition — stage
+    retries and speculative duplicates do not double-count, so ``delta`` /
+    dangling-mass values are safe to feed back into the next superstep.
+
+    Returns ``(checkpointed_state, metrics_dict)``. A metric over zero
+    rows is None — callers coalesce (``or 0.0``) as with the old agg row.
+    """
+    obs = Observation()
+    observed = df.observe(obs, *stats)
+    if keep is not None:
+        observed = observed.select(*keep)
+    out = observed.localCheckpoint(eager=True)
+    return out, obs.get
 
 
 def release_state(df: DataFrame) -> None:
@@ -129,6 +174,22 @@ def superstep_conf(spark, num_partitions: int, adaptive: bool | None = None):
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
 
 
+def _host_cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — per-superstep host-noise
+    attribution for the metrics trail. The shared-VM hosts this engine is
+    benchmarked on throttle sustained load at the hypervisor (visible as
+    'steal'); recording it per superstep lets a scaling report separate
+    engine seconds from stolen seconds. Returns None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 @dataclass
 class RunResult:
     state: DataFrame
@@ -207,12 +268,18 @@ def run_supersteps(
     ephemeral: _EphemeralReset | None = None
     try:
         while superstep < max_iters:
+            cpu0 = _host_cpu_jiffies()
             t0 = time.time()
             new_state, stats = step_fn(state, superstep)
             seconds = time.time() - t0
+            cpu1 = _host_cpu_jiffies()
             superstep += 1
             stats = dict(stats)
             stats.update({"superstep": superstep, "seconds": round(seconds, 4)})
+            if cpu0 is not None and cpu1 is not None and cpu1[1] > cpu0[1]:
+                stats["steal_frac"] = round(
+                    (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 4
+                )
             history.append(stats)
             converged = bool(stats.get("converged", False))
             if not converged and superstep % checkpoint_every == 0:

@@ -326,7 +326,7 @@ def q_pagerank_csr_k5(spark, sf_dir):
     from .csr import pagerank_csr
 
     e = cust_supp_edges(spark, sf_dir)
-    res = pagerank_csr(spark, e, damping=D, tol=0.0, max_iters=5)
+    res = pagerank_csr(spark, e, damping=D, tol=0.0, max_iters=5, mode="csr")
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -337,7 +337,7 @@ def q_cc_csr_k(spark, sf_dir):
     from .csr import cc_csr
 
     e = part_edges(spark, sf_dir)
-    res = cc_csr(spark, e, max_iters=6)
+    res = cc_csr(spark, e, max_iters=6, mode="csr")
     return res.state.select("id", "label")
 
 
@@ -405,6 +405,23 @@ def q_pagerank_w_k5(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_w_csr_k5(spark, sf_dir):
+    """Weighted PageRank through the CSR disk-block kernel (type-2 blocks
+    carry a float64 ``w`` array; messages = rank/W * w) — verified
+    against the SAME weighted unrolled oracle as pagerank_w_k5, proving
+    the weighted kernel ≡ both join regimes."""
+    from .csr import pagerank_csr
+
+    e = cust_supp_edges(spark, sf_dir).withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double"),
+    )
+    res = pagerank_csr(
+        spark, e, damping=D, tol=0.0, max_iters=5, mode="csr", weight_col="weight"
+    )
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_lpa_csr_k3(spark, sf_dir):
     """Same 3-superstep LPA as lpa_k3 but through the CSR disk-block
     kernel (partition-local (dst,label) count pre-aggregation) — verified
@@ -412,7 +429,7 @@ def q_lpa_csr_k3(spark, sf_dir):
     from .csr import lpa_csr
 
     e = part_edges(spark, sf_dir)
-    res = lpa_csr(spark, e, max_iters=3)
+    res = lpa_csr(spark, e, max_iters=3, mode="csr")
     return res.state.select("id", "label")
 
 
@@ -628,19 +645,46 @@ def q_bipartite_k6(spark, sf_dir):
 
 
 def q_scc(spark, sf_dir):
-    """FB-coloring SCC to convergence — rows-only (data-dependent inner
-    fixpoints are not expressible as a fixed CTE unroll)."""
+    """FB-coloring SCC to convergence — VALUE-verified (r3 verdict item
+    5): SCC membership is definitional (mutual reachability), so instead
+    of unrolling the algorithm's data-dependent inner fixpoints the
+    oracle computes the transitive closure with a true-fixpoint recursive
+    CTE and labels each vertex min{u : v↝u ∧ u↝v} — exactly the
+    min-member normalization strongly_connected_components emits. Closure
+    size is bounded by |V|·|reach| (fine at the sf0.01 oracle scale; the
+    SPARK side never materializes a closure)."""
     from .algos import strongly_connected_components
 
     e = part_edges(spark, sf_dir)
     return strongly_connected_components(spark, e).state.select("id", "label")
 
 
+def scc_sql(edges_sql: str) -> str:
+    """Exact SCC oracle by definition (not by algorithm): transitive
+    closure via recursive CTE, then label = min over the mutual set."""
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT src, dst FROM ({edges_sql}) _e),
+verts AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION SELECT dst FROM edges) _v),
+reach(s, d) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.d
+)
+SELECT a.s AS id, CAST(MIN(a.d) AS BIGINT) AS label
+FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+GROUP BY a.s
+""".strip()
+
+
 def q_msf(spark, sf_dir):
     """Borůvka minimum spanning forest with deterministic derived weights
-    — VALUE-verified (r2 verdict item 5) against boruvka_sql: only the
-    outer Borůvka rounds are unrolled (halving ⇒ 14 covers 2^14-vertex
-    components); each round's merge is a true-fixpoint recursive CTE."""
+    — VALUE-verified (r2 verdict item 5) against boruvka_sql: the outer
+    Borůvka rounds are unrolled (halving ⇒ 14 covers 2^14 components) and
+    each round's merge is a fixed POINTER-DOUBLING pass over the
+    functional selection graph (doublings=18 ⇒ chains up to 2^18
+    components; see boruvka_sql's docstring for the chain bound)."""
     from .algos import minimum_spanning_forest
 
     e = part_edges(spark, sf_dir).withColumn(
@@ -969,15 +1013,52 @@ def q_near_dup_embeddings(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN around vec_id 0 — rows-only (approximate by
-    construction; exactness is the brute-force ann_topk query). Uses the
-    one-scan signature table (round 2): candidate lookup is a bucket join,
-    not ``tables`` corpus scans."""
+    """LSH-bucketed ANN around vec_id 0 — VALUE-verified (r3 verdict item
+    3): the oracle evaluates the IDENTICAL buckets via signature_sql (same
+    planes, same round-9 HALF_UP sign test), selects candidates sharing
+    >= 1 of the 8 table signatures with vec 0, and re-ranks with the same
+    round-6 cosine — so even though the ALGORITHM is approximate vs brute
+    force, the driver check is exact. The Spark side's query signature is
+    computed driver-side (ann._query_signatures, Decimal HALF_UP — the
+    exact BigDecimal semantics of F.round/DuckDB ROUND); sig parity is
+    additionally pytest-checked. Uses the one-scan signature table:
+    candidate lookup is a bucket join, not ``tables`` corpus scans."""
     from .ann import lsh_topk
 
     emb = load(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return lsh_topk(emb, qv, k=10, bits=4, tables=8)
+
+
+def _ann_lsh_sql(bits: int = 4, tables: int = 8, k: int = 10) -> str:
+    from .ann import signature_sql
+
+    sig_cols = ", ".join(
+        f"{signature_sql('v', EMB_DIM, bits, t)} AS s{t}" for t in range(tables)
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, s{t} AS sig FROM sigs" for t in range(tables)
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"sigs AS (SELECT vec_id, {sig_cols} FROM e)",
+        f"b AS ({melt})",
+        "qb AS (SELECT tbl, sig FROM b WHERE vec_id = 0)",
+        "cand AS (SELECT DISTINCT b.vec_id FROM b"
+        " JOIN qb ON b.tbl = qb.tbl AND b.sig = qb.sig)",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        "sims AS (SELECT c.vec_id,"
+        " ROUND(list_dot_product(e.v, (SELECT qv FROM q))"
+        " / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))),"
+        " 6) AS cos_sim"
+        " FROM cand c JOIN e ON e.vec_id = c.vec_id)",
+    ]
+    return _with(
+        parts,
+        f"SELECT vec_id, cos_sim FROM sims"
+        f" ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}",
+    )
 
 
 EMB_DIM = 64  # embeddings.parquet testdata dimension (TESTDATA.md)
@@ -1052,16 +1133,150 @@ def q_pagerank_converged(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
-def q_import_graph_edges(spark, sf_dir):
-    """End-to-end corpus -> import-graph pipeline (north-rule input shape):
-    deterministic corpus, vectorized extraction, id minting. Rows-only."""
-    from .extract import corpus_to_graph
-    from .fixtures import gen_source_files
+def _import_corpus(spark, sf_dir):
+    """Deterministic 4-language source_files corpus DERIVED from the
+    documents table — the same construction is expressible in DuckDB SQL,
+    which is what lets the extraction pipeline be VALUE-verified (r3
+    verdict item 4). Per doc: repo r{doc_id%25}, path src/mod{doc_id}.{ext},
+    two import references t1 (same repo ±25 — mostly resolvable) and t2
+    ((7·doc_id+3) mod 2000 — mostly unresolvable: exercises the drop
+    path), plus non-matching noise lines."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    langs = F.array(F.lit("python"), F.lit("c"), F.lit("java"), F.lit("javascript"))
+    exts = F.array(F.lit(".py"), F.lit(".h"), F.lit(".java"), F.lit(".js"))
+    m = (F.col("doc_id") % 4 + 1).cast("int")
+    t1 = F.when(F.col("doc_id") >= 25, F.col("doc_id") - 25).otherwise(
+        F.col("doc_id") + 25
+    ).cast("string")
+    t2 = ((F.col("doc_id") * 7 + 3) % 2000).cast("string")
+    lang = F.element_at(langs, m)
+    content = (
+        F.when(
+            lang == "python",
+            F.concat(
+                F.lit("import src.mod"), t1,
+                F.lit("\nfrom src.mod"), t2, F.lit(" import thing\nx = 1\n"),
+            ),
+        )
+        .when(
+            lang == "c",
+            F.concat(
+                F.lit('#include "src/mod'), t1,
+                F.lit('.h"\n#include "src/mod'), t2,
+                F.lit('.h"\nint main() { return 0; }\n'),
+            ),
+        )
+        .when(
+            lang == "java",
+            F.concat(
+                F.lit("import src.mod"), t1,
+                F.lit(";\nimport static src.mod"), t2,
+                F.lit(";\nclass M {}\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("import x from './src/mod"), t1,
+                F.lit(".js';\nconst y = require('./src/mod"), t2,
+                F.lit(".js');\n"),
+            )
+        )
+    )
+    return d.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 25).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/mod"), F.col("doc_id").cast("string"), F.element_at(exts, m)
+        ).alias("path"),
+        F.lit("HEAD").alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
 
-    corpus = gen_source_files(n_rows=400, seed=42)
-    df = spark.createDataFrame(corpus.files)
-    _, edges, _ = corpus_to_graph(df)
-    return edges
+
+def q_import_graph_edges(spark, sf_dir):
+    """End-to-end corpus -> import-graph extraction (north-rule input
+    shape): deterministic 4-language corpus, the REAL vectorized-regex
+    extraction (extract.extract_references, mapInPandas + compiled
+    multiline patterns), reference normalization, and resolution join —
+    VALUE-verified against a DuckDB oracle that mirrors the corpus
+    construction and runs the identical regexes via regexp_extract_all.
+    Returns resolved path edges (repo, src_path, dst_path); vertex-id
+    minting (Spark xxhash64, not portable to DuckDB) stays pytest-covered
+    via corpus_to_graph."""
+    from .extract import extract_references, resolve_references
+
+    corpus = _import_corpus(spark, sf_dir)
+    refs = extract_references(corpus)
+    edges, _ = resolve_references(refs, corpus, broadcast_index=True)
+    return edges.select("repo", "src_path", "dst_path")
+
+
+_IMPORT_STRIP_EXT_SQL = r"\.(?:py|h|hpp|c|cc|java|js|jsx|ts)$"
+
+
+def import_graph_sql() -> str:
+    """DuckDB mirror of _import_corpus + extract_references +
+    resolve_references: same corpus expressions, same per-language
+    multiline regexes (RE2 supports the (?m) flag), same dot->slash /
+    extension-strip normalization, same (repo, stem) resolution join."""
+    pats = {
+        "python": [r"(?m)^\s*(?:from|import)\s+([\w.]+)"],
+        "c": [r'(?m)^\s*#\s*include\s+"([^"]+)"'],
+        "java": [r"(?m)^\s*import\s+(?:static\s+)?([\w.]+)\s*;"],
+        "javascript": [
+            r"""(?m)\bfrom\s+["']\./([^"']+)["']""",
+            r"""(?m)\brequire\(\s*["']\./([^"']+)["']\s*\)""",
+        ],
+    }
+    ref_selects = []
+    for lang, plist in pats.items():
+        if lang in ("python", "java"):
+            norm = "replace(r.ref, '.', '/')"
+        else:
+            norm = f"regexp_replace(r.ref, '{_IMPORT_STRIP_EXT_SQL}', '')"
+        for pat in plist:
+            sql_pat = pat.replace("'", "''")
+            ref_selects.append(
+                f"SELECT repo, src_path, {norm} AS dst_stem FROM ("
+                f"SELECT c.repo, c.path AS src_path,"
+                f" unnest(regexp_extract_all(c.content, '{sql_pat}', 1)) AS ref"
+                f" FROM corpus c WHERE c.lang = '{lang}') r"
+            )
+    refs_union = " UNION ALL ".join(ref_selects)
+    return f"""
+WITH corpus AS (
+  SELECT 'r' || CAST(doc_id % 25 AS VARCHAR) AS repo,
+         'src/mod' || CAST(doc_id AS VARCHAR) ||
+           (['.py', '.h', '.java', '.js'])[(doc_id % 4 + 1)] AS path,
+         (['python', 'c', 'java', 'javascript'])[(doc_id % 4 + 1)] AS lang,
+         CASE (doc_id % 4)
+           WHEN 0 THEN 'import src.mod' || t1 ||
+                chr(10) || 'from src.mod' || t2 || ' import thing' ||
+                chr(10) || 'x = 1' || chr(10)
+           WHEN 1 THEN '#include "src/mod' || t1 || '.h"' ||
+                chr(10) || '#include "src/mod' || t2 || '.h"' ||
+                chr(10) || 'int main() {{ return 0; }}' || chr(10)
+           WHEN 2 THEN 'import src.mod' || t1 || ';' ||
+                chr(10) || 'import static src.mod' || t2 || ';' ||
+                chr(10) || 'class M {{}}' || chr(10)
+           ELSE 'import x from ''./src/mod' || t1 || '.js'';' ||
+                chr(10) || 'const y = require(''./src/mod' || t2 || '.js'');' ||
+                chr(10)
+         END AS content
+  FROM (SELECT doc_id,
+               CAST(CASE WHEN doc_id >= 25 THEN doc_id - 25
+                         ELSE doc_id + 25 END AS VARCHAR) AS t1,
+               CAST((doc_id * 7 + 3) % 2000 AS VARCHAR) AS t2
+        FROM documents) _d
+),
+refs AS ({refs_union}),
+idx AS (SELECT repo AS i_repo,
+               regexp_replace(path, '{_IMPORT_STRIP_EXT_SQL}', '') AS i_stem,
+               path AS i_path
+        FROM corpus)
+SELECT DISTINCT r.repo, r.src_path, i.i_path AS dst_path
+FROM refs r JOIN idx i ON r.repo = i.i_repo AND r.dst_stem = i.i_stem
+""".strip()
 
 
 # ---------------------------------------------------------------------------
@@ -1072,7 +1287,7 @@ def q_import_graph_edges(spark, sf_dir):
 # Oracle generators for the (formerly rows-only) stretch algorithms
 # ---------------------------------------------------------------------------
 
-def boruvka_sql(edges_sql: str, rounds: int = 14, doublings: int = 12) -> str:
+def boruvka_sql(edges_sql: str, rounds: int = 14, doublings: int = 18) -> str:
     """Unrolled Borůvka MSF oracle producing the same forest EDGE SET as
     algos.mcst: canonical (least, greatest, min-weight) edges, then per
     round every component picks its min outgoing edge under the
@@ -1084,8 +1299,11 @@ def boruvka_sql(edges_sql: str, rounds: int = 14, doublings: int = 12) -> str:
     picked edge) and under the strict total order its only cycles are
     2-cycles (the min edge of any pointer cycle is picked by both ends),
     so POINTER DOUBLING reaches a cycle in ceil(log2(chain)) fixed steps
-    — ``doublings``=12 is provably enough for up to 2^12 components per
-    chain. The canonical label is the smaller cycle endpoint, which may
+    — ``doublings``=18 bounds the provable coverage at 2^18 = 262,144
+    components per selection chain (ADVICE r3: round 1 can have up to |V|
+    components, so the bound must clear the largest graph the oracle ever
+    sees — sf1's ~200k part vertices fit with margin; each extra doubling
+    is one cheap CTE pass, so the headroom costs ~nothing). The canonical label is the smaller cycle endpoint, which may
     differ from algos.mcst's group-min label — irrelevant, because labels
     only partition components (the per-group min-edge picks, and hence
     the forest, are identical under any consistent labeling).
@@ -1250,6 +1468,7 @@ QUERIES = {
     "lpa_csr_k3": q_lpa_csr_k3,
     "sssp_k5": q_sssp_k5,
     "pagerank_w_k5": q_pagerank_w_k5,
+    "pagerank_w_csr_k5": q_pagerank_w_csr_k5,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
     "bfs_k4": q_bfs_k4,
@@ -1302,6 +1521,7 @@ ORACLES = {
     "lpa_csr_k3": lpa_sql(SQL_PART_EDGES, 3),
     "sssp_k5": sssp_sql(SQL_WEIGHTED_EDGES, 5),
     "pagerank_w_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
+    "pagerank_w_csr_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
     "triangle_count": triangle_count_sql(SQL_PART_EDGES),
     "triangles_per_vertex": triangles_per_vertex_sql(SQL_PART_EDGES),
     "bfs_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),
@@ -1315,6 +1535,8 @@ ORACLES = {
     "mis_r4": mis_sql(SQL_PART_EDGES, 4),
     "bipartite_k6": bipartite_sql(SQL_PART_EDGES, 6),
     "msf": boruvka_sql(SQL_PART_EDGES),
+    "scc": scc_sql(SQL_PART_EDGES),
+    "import_graph_edges": import_graph_sql(),
     "als_r1": als_r1_sql(),
     "bp_k2": bp_sql(SQL_PART_EDGES),
     "minhash_sigs": SQL_MINHASH_SIGS,
@@ -1325,9 +1547,9 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "near_dup_embeddings": SQL_NEAR_DUP_EMB,
     "near_dup_emb_lsh": _near_dup_emb_lsh_sql(),
-    # rows-only (no SQL oracle): pagerank_converged, import_graph_edges,
-    # scc, hyperanf (data-dependent iteration counts / non-portable
-    # hashing), als_sweeps/bp_beliefs (rank-4 solves / hash potentials —
-    # value-verified via als_r1/bp_k2 instead), ann_lsh (approximate),
-    # media_features (binary payloads)
+    "ann_lsh": _ann_lsh_sql(),
+    # rows-only (no SQL oracle): pagerank_converged (unbounded-k
+    # convergence), hyperanf (non-portable HLL hashing), als_sweeps/
+    # bp_beliefs (rank-4 solves / hash potentials — value-verified via
+    # als_r1/bp_k2 instead), media_features (binary payloads)
 }

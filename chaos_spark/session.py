@@ -52,7 +52,17 @@ def get_spark(
         # blocks retained after 14 supersteps (heap-after-GC climbing
         # 18.9 -> 21.2 GB, supersteps degrading 5s -> 30s+). 30s keeps
         # the block manager bounded at a few live states.
-        "spark.cleaner.periodicGC.interval": "30s",
+        "spark.cleaner.periodicGC.interval": os.environ.get(
+            "CHAOS_PERIODIC_GC", "30s"
+        ),
+        # ...but System.gc() on a 32g heap defaults to a STOP-THE-WORLD
+        # full collection: the r4 scaling campaign measured 73-78 s
+        # superstep stalls on an otherwise idle host (steal 0) every time
+        # the 30s timer fired mid-run; with ExplicitGCInvokesConcurrent
+        # the same cadence costs <= a few seconds (A/B committed in
+        # BENCH/SCALING_ANALYSIS.md). Engine-owned stall, engine-owned
+        # fix — periodic reclamation stays, the pause goes.
+        "spark.driver.extraJavaOptions": "-XX:+ExplicitGCInvokesConcurrent",
     }
     if extra_conf:
         conf.update(extra_conf)

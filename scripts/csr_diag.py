@@ -32,7 +32,7 @@ os.environ.setdefault("CHAOS_AQE", "off")
 os.environ.setdefault("CHAOS_CSR_BLOCK_DIR", "/dev/shm/chaos_csr_blocks")
 
 from chaos_spark.csr import CsrGraph, _gather_positions, _load_disk_block  # noqa: E402
-from chaos_spark.engine import materialize, superstep_conf  # noqa: E402
+from chaos_spark.engine import materialize, materialize_stats, superstep_conf  # noqa: E402
 from chaos_spark.graph import DST, ID  # noqa: E402
 from chaos_spark.session import get_spark  # noqa: E402
 
@@ -49,7 +49,9 @@ spark = get_spark(
     },
 )
 edges = spark.read.parquet(GRAPH)
+print(f"# session up, building CsrGraph t={time.time():.0f}", file=sys.stderr, flush=True)
 g = CsrGraph(spark, edges, num_partitions=shuffle, token=f"bench-{GRAPH}-{shuffle}")
+print(f"# CsrGraph ready t={time.time():.0f}", file=sys.stderr, flush=True)
 n = g.num_vertices
 token, block_dir = g.cache_token, g.block_dir
 
@@ -76,6 +78,7 @@ def kernel(batches):
 
 
 def full_step(cur):
+    """r1-r3 barrier: lazy localCheckpoint + separate stats agg action."""
     partials = cur.mapInPandas(kernel, schema=f"{DST} long, partial double")
     contribs = partials.groupBy(DST).agg(F.sum("partial").alias("contrib"))
     new = cur.join(contribs, cur[ID] == contribs[DST], "left").select(
@@ -86,6 +89,26 @@ def full_step(cur):
     new = materialize(new)
     new.agg(F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta")).first()
     return new.select(ID, "out_degree", "rank")
+
+
+def full_step_obs(cur):
+    """r4 barrier: shuffle_hash apply join + observe-folded stats (the
+    production superstep, chaos_spark/csr.py _pagerank_csr_disk)."""
+    partials = cur.mapInPandas(kernel, schema=f"{DST} long, partial double")
+    contribs = partials.groupBy(DST).agg(F.sum("partial").alias("contrib"))
+    new = cur.join(
+        contribs.hint("shuffle_hash"), cur[ID] == contribs[DST], "left"
+    ).select(
+        cur[ID], cur["out_degree"], cur["rank"].alias("_prev"),
+        (F.lit(0.15 / n) + F.lit(0.85) *
+         F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+    )
+    new, _ = materialize_stats(
+        new,
+        [F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta")],
+        keep=[ID, "out_degree", "rank"],
+    )
+    return new
 
 
 with superstep_conf(spark, g.p, adaptive=False):
@@ -99,8 +122,10 @@ with superstep_conf(spark, g.p, adaptive=False):
     state.count()
 
     # warm-up: JIT, worker pool, block caches
-    for _ in range(6):
+    for i in range(6):
+        t0 = time.time()
         state = full_step(state)
+        print(f"# warmup {i}: {time.time()-t0:.2f}s", file=sys.stderr, flush=True)
 
     out = {"cpus": cpus, "gc": gc, "shuffle": shuffle, "vertices": n,
            "edges": g.num_edges}
@@ -113,6 +138,7 @@ with superstep_conf(spark, g.p, adaptive=False):
             ts.append(round(time.time() - t0, 3))
         out[name + "_all"] = ts
         out[name] = sorted(ts)[len(ts) // 2]
+        print(f"# {name}: {out[name]} {ts}", file=sys.stderr, flush=True)
 
     med("scan_only", lambda: state.agg(F.count(F.lit(1))).first())
     med("kernel", lambda: state.mapInPandas(
@@ -129,5 +155,12 @@ with superstep_conf(spark, g.p, adaptive=False):
     med("full_step", one_full)
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     med("full_step_shj", one_full)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+
+    def one_full_obs():
+        global state
+        state = full_step_obs(state)
+
+    med("full_step_obs", one_full_obs)
 
 print(json.dumps(out))

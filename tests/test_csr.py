@@ -33,7 +33,7 @@ def _ranks(res):
 def test_pagerank_csr_equals_join_path(spark, name):
     edges = spark.createDataFrame(GRAPHS[name]())
     r_join = pagerank(spark, edges, tol=1e-6, max_iters=60)
-    r_csr = pagerank_csr(spark, edges, tol=1e-6, max_iters=60)
+    r_csr = pagerank_csr(spark, edges, tol=1e-6, max_iters=60, mode="csr")
     a, b = _ranks(r_join), _ranks(r_csr)
     assert set(a) == set(b)
     ks = sorted(a)
@@ -45,7 +45,7 @@ def test_pagerank_csr_equals_join_path(spark, name):
 def test_pagerank_csr_matches_oracle(spark, name):
     pdf = GRAPHS[name]()
     edges = spark.createDataFrame(pdf)
-    res = pagerank_csr(spark, edges, tol=1e-9, max_iters=500)
+    res = pagerank_csr(spark, edges, tol=1e-9, max_iters=500, mode="csr")
     assert res.converged
     got = _ranks(res)
     want = pagerank_oracle(pdf)
@@ -61,7 +61,7 @@ def test_cc_csr_equals_join_path(spark, name):
         connected_components(spark, edges, max_iters=100)
         .state.select("id", "label").collect()
     )
-    b = dict(cc_csr(spark, edges, max_iters=100).state.select("id", "label").collect())
+    b = dict(cc_csr(spark, edges, max_iters=100, mode="csr").state.select("id", "label").collect())
     assert a == b
 
 
@@ -91,25 +91,48 @@ def test_lpa_csr_equals_join_path(spark):
             .state.select("id", "label").collect()
         )
         b = dict(
-            lpa_csr(spark, edges, max_iters=7).state.select("id", "label").collect()
+            lpa_csr(spark, edges, max_iters=7, mode="csr").state.select("id", "label").collect()
         )
         assert a == b
+
+
+def test_pagerank_weighted_csr_equals_join_path(spark):
+    """Type-2 (weighted) disk blocks: the CSR kernel's rank/W * w messages
+    reach the same fixed point as the join path's weighted regime
+    (VERDICT r3 item 6 done-criterion)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf).withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double"),
+    )
+    a = _ranks(pagerank(spark, edges, tol=0.0, max_iters=6, weight_col="weight",
+                        mode="shuffle"))
+    b = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=6, mode="csr",
+                            weight_col="weight"))
+    assert set(a) == set(b)
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=0, atol=1e-12)
 
 
 def test_csr_partition_invariance(spark):
     """Result must not depend on the partition count (the autotuned P is a
     physical choice, never semantic)."""
     edges = spark.createDataFrame(GRAPHS["powerlaw"]())
-    r4 = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=5, num_partitions=4))
-    r11 = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=5, num_partitions=11))
+    r4 = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=5, num_partitions=4, mode="csr"))
+    r11 = _ranks(pagerank_csr(spark, edges, tol=0.0, max_iters=5, num_partitions=11, mode="csr"))
     ks = sorted(r4)
     assert np.allclose([r4[k] for k in ks], [r11[k] for k in ks], rtol=0, atol=1e-12)
 
 
 def test_disk_blocks_rebuilt_on_changed_edges(spark, tmp_path, monkeypatch):
-    """ADVICE r2: a caller-pinned token whose underlying edge data changed
-    must trigger a block rebuild, never silently reuse stale CSR blocks.
-    The _BUILT marker records "{num_edges}:{p}" and is validated on reuse."""
+    """ADVICE r2+r3: a caller-pinned token whose underlying edge data
+    changed must trigger a block rebuild, never silently reuse stale CSR
+    blocks. The _BUILT marker records "{num_edges}:{p}:{content_fp}" and
+    is validated on reuse — the xor-fold content fingerprint catches the
+    same-count-DIFFERENT-edges regeneration the count alone missed."""
     import os
 
     import chaos_spark.csr as csr_mod
@@ -120,7 +143,18 @@ def test_disk_blocks_rebuilt_on_changed_edges(spark, tmp_path, monkeypatch):
     g_old = csr_mod.CsrGraph(spark, e1, num_partitions=4, token="pinned")
     marker = os.path.join(g_old.block_dir, "_BUILT")
     with open(marker) as f:
-        assert f.read() == f"{g_old.num_edges}:4"
+        assert f.read() == f"{g_old.num_edges}:4:{g_old.edge_fp:x}"
+
+    # Same |E|, different edges (reversed chain): count-only markers pass
+    # this; the content fingerprint must not.
+    e_rev = spark.createDataFrame(
+        g1_chain().rename(columns={"src": "dst", "dst": "src"})
+    )
+    g_rev = csr_mod.CsrGraph(spark, e_rev, num_partitions=4, token="pinned")
+    assert g_rev.num_edges == g_old.num_edges
+    assert g_rev.edge_fp != g_old.edge_fp
+    with open(marker) as f:
+        assert f.read() == f"{g_rev.num_edges}:4:{g_rev.edge_fp:x}"
 
     # "Regenerated" data at the same token: a superset graph whose old src
     # ids are a subset of the new vertex set (the silent-wrong-graph case).
@@ -128,7 +162,7 @@ def test_disk_blocks_rebuilt_on_changed_edges(spark, tmp_path, monkeypatch):
     g_new = csr_mod.CsrGraph(spark, e2, num_partitions=4, token="pinned")
     assert g_new.num_edges != g_old.num_edges
     with open(marker) as f:
-        assert f.read() == f"{g_new.num_edges}:4"
+        assert f.read() == f"{g_new.num_edges}:4:{g_new.edge_fp:x}"
     # and the rebuilt blocks drive a correct run on the NEW graph
     res = csr_mod.cc_csr(spark, e2, num_partitions=4, token="pinned")
     labels = {r["id"]: r["label"] for r in res.state.collect()}

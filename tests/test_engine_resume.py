@@ -67,16 +67,18 @@ def test_pagerank_csr_resume_identical(spark, tmp_path):
     edges = spark.createDataFrame(pdf)
     cfg = {"algo": "pagerank_csr", "tol": 1e-9, "damping": 0.85}
 
-    full = pagerank_csr(spark, edges, tol=1e-9, max_iters=500)
+    full = pagerank_csr(spark, edges, tol=1e-9, max_iters=500, mode="csr")
 
     cp = CheckpointManager(str(tmp_path), "pagerank_csr", cfg)
     partial = pagerank_csr(
-        spark, edges, tol=1e-9, max_iters=3, checkpointer=cp, checkpoint_every=1
+        spark, edges, tol=1e-9, max_iters=3, checkpointer=cp, checkpoint_every=1,
+        mode="csr",
     )
     assert not partial.converged
     assert cp.latest()["superstep"] == 3
     resumed = pagerank_csr(
-        spark, edges, tol=1e-9, max_iters=500, checkpointer=cp, checkpoint_every=5
+        spark, edges, tol=1e-9, max_iters=500, checkpointer=cp, checkpoint_every=5,
+        mode="csr",
     )
     assert resumed.converged
     # resumed run started from the checkpoint, not from scratch
@@ -93,12 +95,12 @@ def test_cc_csr_resume_identical(spark, tmp_path):
 
     pdf = g4_powerlaw(scale=8, num_edges=1200)
     edges = spark.createDataFrame(pdf)
-    full = cc_csr(spark, edges, max_iters=100)
+    full = cc_csr(spark, edges, max_iters=100, mode="csr")
 
     cp = CheckpointManager(str(tmp_path), "cc_csr", {"algo": "cc_csr"})
-    partial = cc_csr(spark, edges, max_iters=2, checkpointer=cp, checkpoint_every=1)
+    partial = cc_csr(spark, edges, max_iters=2, checkpointer=cp, checkpoint_every=1, mode="csr")
     assert not partial.converged
-    resumed = cc_csr(spark, edges, max_iters=100, checkpointer=cp, checkpoint_every=5)
+    resumed = cc_csr(spark, edges, max_iters=100, checkpointer=cp, checkpoint_every=5, mode="csr")
     assert resumed.converged
     assert resumed.history[0]["superstep"] == 3
 
@@ -112,11 +114,11 @@ def test_lpa_csr_resume_identical(spark, tmp_path):
 
     pdf = g4_powerlaw(scale=8, num_edges=1200)
     edges = spark.createDataFrame(pdf)
-    full = lpa_csr(spark, edges, max_iters=6)
+    full = lpa_csr(spark, edges, max_iters=6, mode="csr")
 
     cp = CheckpointManager(str(tmp_path), "lpa_csr", {"algo": "lpa_csr"})
-    lpa_csr(spark, edges, max_iters=2, checkpointer=cp, checkpoint_every=1)
-    resumed = lpa_csr(spark, edges, max_iters=6, checkpointer=cp, checkpoint_every=5)
+    lpa_csr(spark, edges, max_iters=2, checkpointer=cp, checkpoint_every=1, mode="csr")
+    resumed = lpa_csr(spark, edges, max_iters=6, checkpointer=cp, checkpoint_every=5, mode="csr")
     assert resumed.history[0]["superstep"] == 3
 
     a = {r["id"]: r["label"] for r in full.state.collect()}

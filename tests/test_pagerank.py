@@ -116,7 +116,11 @@ def test_pagerank_weighted_broadcast_equals_shuffle(spark):
     assert set(ra) == set(rb)
     ks = sorted(ra)
     assert np.allclose([ra[k] for k in ks], [rb[k] for k in ks], rtol=0, atol=1e-9)
-    assert a.supersteps == b.supersteps
+    # The regimes accumulate float error in different op orders, so a
+    # delta landing within float noise of tol can converge one superstep
+    # apart (ADVICE r3) — the atol=1e-9 rank equality above is the real
+    # invariant; superstep counts just need to agree to +/-1.
+    assert abs(a.supersteps - b.supersteps) <= 1
 
 
 def test_pagerank_weighted_rejects_bad_weights(spark):
