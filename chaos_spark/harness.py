@@ -694,12 +694,28 @@ def q_msf(spark, sf_dir):
 
 
 def q_hyperanf(spark, sf_dir):
-    """HyperANF neighborhood-function estimates — rows-only (HLL register
-    hashing is not portably SQL-expressible)."""
+    """HyperANF neighborhood-function estimates to convergence — rows-only
+    (unbounded-k, like pagerank_converged); the fixed-k twin
+    ``hyperanf_k3`` is VALUE-verified against :func:`hyperanf_sql`."""
     from .algos import hyper_anf
 
     e = part_edges(spark, sf_dir)
     res = hyper_anf(spark, e, max_iters=16)
+    return res.state.select(
+        "id", F.round(F.element_at(F.col("nf"), -1), 4).alias("nf_final")
+    )
+
+
+def q_hyperanf_k3(spark, sf_dir):
+    """3-hop HyperANF — VALUE-verified (r4): hyperanf_sql replicates the
+    murmur-finalizer register hash (exact mod-2^64 limb math), the sparse
+    max-merge propagation, and the HLL estimate with linear-counting
+    correction, compared after ROUND(…, 4). Registers reaching fixpoint
+    before hop 3 are handled by max-merge idempotence."""
+    from .algos import hyper_anf
+
+    e = part_edges(spark, sf_dir)
+    res = hyper_anf(spark, e, max_iters=3)
     return res.state.select(
         "id", F.round(F.element_at(F.col("nf"), -1), 4).alias("nf_final")
     )
@@ -1457,6 +1473,90 @@ def bp_sql(edges_sql: str, coupling: float = 0.7, k: int = 2) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+def _mulmod64(a_sql: str, b: int) -> str:
+    """``(a * b) mod 2**64`` for a UBIGINT SQL expression and a 64-bit
+    constant, without overflowing DuckDB's signed INT128: split ``b`` into
+    32-bit limbs so every intermediate product stays under 2**97.
+    ``a*b = a*b_lo + ((a*b_hi) mod 2**32) << 32  (mod 2**64)``."""
+    two64 = 1 << 64
+    bl, bh = b & 0xFFFFFFFF, b >> 32
+    return (
+        f"CAST(((CAST({a_sql} AS HUGEINT) * {bl}) % {two64}"
+        f" + ((CAST({a_sql} AS HUGEINT) % 4294967296) * {bh} % 4294967296)"
+        f" * 4294967296) % {two64} AS UBIGINT)"
+    )
+
+
+def hyperanf_sql(edges_sql: str, k: int, seed: int = 42) -> str:
+    """k-hop unrolled HyperANF oracle — disproves the r1-r3 note that HLL
+    register hashing is "not portably SQL-expressible". The three pieces:
+
+    - the murmur-finalizer vertex hash (algos/hyperanf._init_registers) is
+      exact 64-bit integer math; DuckDB lacks wrapping multiply, so
+      :func:`_mulmod64` emulates it with 32-bit limbs in HUGEINT space
+      (bit-for-bit parity pytest-checked against the numpy kernel);
+    - registers are SPARSE rows ``(id, j, rank)`` (absent register = 0);
+      one hop = max-merge over {v} ∪ N(v) on the symmetrized edge set,
+      which is a join + GROUP BY MAX — the same commutative/associative/
+      idempotent gather contract the Spark side exploits;
+    - the HLL estimate: ``sum(2^-rank)`` over all 64 registers is a sum of
+      powers of two, EXACT in IEEE double for ranks <= 47 (P[rank>47] ~
+      2^-47), so numpy's pairwise summation and SQL's streaming sum agree
+      bit-for-bit; the only inexact op is LN in the small-range linear-
+      counting branch, hidden by ROUND(…, 4) on both sides.
+
+    Fixed-k: idempotence makes this robust to early convergence — if the
+    Spark run's registers reach fixpoint at hop j < k, SQL hops j+1..k
+    are identity, so the two sides still agree."""
+    two64 = 1 << 64
+    m, b_bits = 64, 6
+    h0 = _mulmod64("CAST(id AS UBIGINT)", 0x9E3779B97F4A7C15)
+    h2 = _mulmod64("xor(h, h >> 33)", 0xFF51AFD7ED558CCD)
+    parts = [
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        "ded AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0)",
+        "und AS MATERIALIZED (SELECT src, dst FROM ded WHERE src <> dst"
+        " UNION SELECT dst, src FROM ded WHERE src <> dst)",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM"
+        " (SELECT src AS id FROM ded UNION ALL SELECT dst FROM ded) _v)",
+        f"h1 AS (SELECT id, xor({h0}, {seed}::UBIGINT) AS h FROM verts)",
+        f"h3 AS MATERIALIZED (SELECT id, xor(h, h >> 33) AS h FROM"
+        f" (SELECT id, {h2} AS h FROM h1) _h2)",
+        # rank = 1 + trailing zeros of w = h >> B_BITS (1-based, from LSB);
+        # w == 0 -> 64 - B_BITS + 1. (h >> (B_BITS - 1 + r)) & 1 is bit
+        # r-1 of w; MIN(r) over set bits = the first one.
+        f"""r0 AS MATERIALIZED (
+  SELECT v.id, CAST(v.h & {m - 1} AS BIGINT) AS j,
+         CAST(COALESCE(MIN(CASE WHEN (v.h >> ({b_bits - 1} + t.r)) & 1 = 1
+                           THEN t.r END), {64 - b_bits + 1}) AS BIGINT) AS rank
+  FROM h3 v CROSS JOIN (SELECT range::BIGINT AS r FROM range(1, {64 - b_bits + 1})) t
+  GROUP BY v.id, v.h)""",
+    ]
+    for i in range(1, k + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT id, j, MAX(rank) AS rank FROM (
+    SELECT e.src AS id, s.j, s.rank FROM und e JOIN {prev} s ON s.id = e.dst
+    UNION ALL
+    SELECT id, j, rank FROM {prev}
+  ) _m GROUP BY id, j)"""
+        )
+    # sum over the full 64 registers = present 2^-rank terms + one 1.0 per
+    # absent (rank-0) register; small-range linear counting below 2.5*M.
+    parts.append(
+        f"""est AS (
+  SELECT id, CAST({m} - COUNT(*) AS BIGINT) AS zeros,
+         {0.709} * {m} * {m} / (SUM(POWER(2.0, -rank)) + ({m} - COUNT(*))) AS raw
+  FROM r{k} GROUP BY id)"""
+    )
+    final = (
+        f"SELECT id, ROUND(CASE WHEN raw <= {2.5 * m} AND zeros > 0"
+        f" THEN {m} * LN({m}.0 / zeros) ELSE raw END, 4) AS nf_final FROM est"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
 QUERIES = {
     "out_degree": q_out_degree,
     "in_degree": q_in_degree,
@@ -1487,6 +1587,7 @@ QUERIES = {
     "scc": q_scc,
     "msf": q_msf,
     "hyperanf": q_hyperanf,
+    "hyperanf_k3": q_hyperanf_k3,
     "als_sweeps": q_als_sweeps,
     "bp_beliefs": q_bp_beliefs,
     "als_r1": q_als_r1,
@@ -1539,6 +1640,7 @@ ORACLES = {
     "import_graph_edges": import_graph_sql(),
     "als_r1": als_r1_sql(),
     "bp_k2": bp_sql(SQL_PART_EDGES),
+    "hyperanf_k3": hyperanf_sql(SQL_PART_EDGES, 3),
     "minhash_sigs": SQL_MINHASH_SIGS,
     "lsh_near_dup": SQL_LSH_PAIRS,
     "lsh_jaccard": SQL_LSH_JACCARD,
@@ -1549,7 +1651,8 @@ ORACLES = {
     "near_dup_emb_lsh": _near_dup_emb_lsh_sql(),
     "ann_lsh": _ann_lsh_sql(),
     # rows-only (no SQL oracle): pagerank_converged (unbounded-k
-    # convergence), hyperanf (non-portable HLL hashing), als_sweeps/
+    # convergence), hyperanf (unbounded-k — value-verified at fixed k via
+    # hyperanf_k3), als_sweeps/
     # bp_beliefs (rank-4 solves / hash potentials — value-verified via
     # als_r1/bp_k2 instead), media_features (binary payloads)
 }

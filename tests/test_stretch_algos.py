@@ -190,3 +190,38 @@ def test_hyperanf_converges_to_component_size(spark):
         size = len(comp)
         for v in comp:
             assert abs(nf[v] - size) <= max(1.5, 0.35 * size)
+
+
+def test_hyperanf_sql_hash_and_registers_match_numpy():
+    """The DuckDB oracle's limb-decomposed mod-2^64 murmur finalizer and
+    first-set-bit rank must agree bit-for-bit with _init_registers — the
+    whole hyperanf_k3 value oracle rests on this."""
+    import duckdb
+
+    from chaos_spark.algos.hyperanf import M, _init_registers
+    from chaos_spark.harness import hyperanf_sql
+
+    ids = np.arange(0, 5000, dtype=np.int64)
+    regs = _init_registers(ids, 42)
+    want_j = regs.argmax(axis=1)
+    want_rank = regs.max(axis=1)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE E AS SELECT range::BIGINT AS src,"
+                " range::BIGINT AS dst FROM range(0, 5000)")
+    # k=0: the oracle's r0 CTE is exactly the init registers (self-loop
+    # edges keep every vertex isolated, so no propagation even at k>0).
+    sql = hyperanf_sql("SELECT src, dst FROM E", 0)
+    got = con.execute(
+        sql.replace("FROM est", "FROM est") + " ORDER BY id"
+    ).df()
+    # pull the raw (j, rank) rows from the r0 CTE directly
+    r0 = con.execute(
+        "WITH " + sql.split("WITH ", 1)[1].split("\nSELECT id, ROUND")[0]
+        + " SELECT id, j, rank FROM r0 ORDER BY id"
+    ).df()
+    assert len(r0) == len(ids)
+    assert (r0["j"].to_numpy() == want_j).all()
+    assert (r0["rank"].to_numpy() == want_rank).all()
+    # and the estimate column exists for every vertex
+    assert len(got) == len(ids)
