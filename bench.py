@@ -179,6 +179,10 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     timed("dedup_exact", lambda: harness.q_dedup_exact(spark, sf_dir).count())
     timed("ann_topk", lambda: harness.q_ann_topk(spark, sf_dir).count())
 
+    scaling = _scaling_summary_for_extras()
+    if scaling is not None:
+        extras["scaling"] = scaling
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "headline_total_sec",
@@ -475,6 +479,8 @@ def run_scaling(
         "graph": {"scale": scale, "edges": num_edges, "path": path},
         "algo_path": algo_path,
         "shuffle_partitions": shuffle,
+        "lo": lo,
+        "hi": hi,
         "runs": {f"local[{lo}]": a_lo, f"local[{hi}]": a_hi},
         "scaling_efficiency": round(eff, 4),
         "scaling_efficiency_wall": round(wall_eff, 4),
@@ -483,7 +489,59 @@ def run_scaling(
     }
     if write_md:
         _write_baseline_md(out, lo, hi)
+    _persist_scaling_json(out)
     return out
+
+
+def _persist_scaling_json(out: dict) -> None:
+    """Keep the latest scaling campaign's full result next to BASELINE.md
+    so the default bench (what the round driver records as BENCH_r{N})
+    can surface the measured N-vs-4N efficiency inline instead of only in
+    a separate markdown artifact."""
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_latest.json"
+    )
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+def _scaling_summary_for_extras() -> dict | None:
+    """Condensed view of BENCH/scaling_latest.json for run_default extras:
+    the recorded steady-state efficiency, the (lo, hi) pair, per-leg
+    steady supersteps/sec + edges/sec, and the steal evidence."""
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_latest.json"
+    )
+    try:
+        with open(p) as f:
+            out = json.load(f)
+    except (OSError, ValueError):
+        return None
+    lo, hi = out.get("lo"), out.get("hi")
+    if lo is None:
+        return None
+    rl, rh = out["runs"][f"local[{lo}]"], out["runs"][f"local[{hi}]"]
+    return {
+        "pair": f"local[{lo}]/local[{hi}]",
+        "algo_path": out["algo_path"],
+        "edges": out["graph"]["edges"],
+        "steady_supersteps_per_sec": {
+            f"local[{lo}]": rl["steady_supersteps_per_sec"],
+            f"local[{hi}]": rh["steady_supersteps_per_sec"],
+        },
+        "steady_edges_per_sec": {
+            f"local[{lo}]": rl["steady_edges_per_sec"],
+            f"local[{hi}]": rh["steady_edges_per_sec"],
+        },
+        "median_steal_frac": {
+            f"local[{lo}]": rl.get("median_steal_frac"),
+            f"local[{hi}]": rh.get("median_steal_frac"),
+        },
+        "scaling_efficiency": out["scaling_efficiency"],
+        "target": out["target"],
+        "pass": out["pass"],
+    }
 
 
 def _write_baseline_md(out: dict, lo: int, hi: int) -> None:

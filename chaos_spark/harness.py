@@ -1139,6 +1139,80 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_meta(spark, sf_dir):
+    """Multimodal METADATA path — VALUE-verified: the typed metadata
+    struct (media_type/width/height/sample_rate/n_frames) derives from
+    pure integer math on doc_id (h = doc_id·2654435761 mod 997; no wrap
+    at sf ids, asserted in pytest), so DuckDB reproduces it exactly.
+    Complements media_features (payload features, rows-only: zlib bytes
+    are not SQL-reproducible) — together they verify the multimodal
+    plumbing's metadata lane end-to-end while the binary lane keeps its
+    honest rows-only status."""
+    from .multimodal import synthesize_media
+
+    d = load(spark, sf_dir, "documents")
+    return synthesize_media(d).select(
+        "doc_id", "media_type", "width", "height", "sample_rate", "n_frames"
+    )
+
+
+SQL_MEDIA_META = """
+WITH m AS (SELECT doc_id, (doc_id * 2654435761) % 997 AS h FROM documents)
+SELECT doc_id,
+       CASE WHEN h % 3 = 0 THEN 'image'
+            WHEN h % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(64 + h % 512 AS INT) AS width,
+       CAST(64 + (h * 7) % 512 AS INT) AS height,
+       CAST(CASE WHEN h % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+       CAST(CASE WHEN h % 3 = 2 THEN 1 + h % 120 ELSE 1 END AS INT) AS n_frames
+FROM m
+""".strip()
+
+
+def q_dedup_lsh_cc(spark, sf_dir):
+    """End-to-end near-duplicate DEDUP: banded-LSH candidate pairs over
+    documents+80%-truncations -> hash-min connected components (k=6
+    supersteps) over the candidate-pair graph -> canonical doc per
+    cluster (min doc_id; singletons canonicalize to themselves). This is
+    the composition a training-data pipeline actually runs at 100 TB —
+    the pair graph is orders smaller than the corpus (LSH buckets, never
+    all-pairs) and the clustering reuses the same scale-tested CC engine
+    as the link-graph queries. ``keep = 1`` marks the one row per cluster
+    a dedup pass would retain. VALUE-verified: the oracle evaluates the
+    identical buckets (SQL_LSH_PAIRS) and the identical fixed-k hash-min
+    unroll (cc_sql), so the match is exact even where 6 supersteps
+    wouldn't yet have converged on a longer chain."""
+    from .algos import connected_components
+    from .textops import lsh_candidate_pairs
+
+    docs = _docs_plus_trunc(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(spark, edges, max_iters=6).state
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn(
+            "keep", (F.col("doc_id") == F.col("canonical_id")).cast("long")
+        )
+    )
+
+
+def dedup_lsh_cc_sql(k: int = 6) -> str:
+    pair_edges = f"SELECT doc_a AS src, doc_b AS dst FROM ({SQL_LSH_PAIRS}) p"
+    return f"""
+WITH docs2 AS ({SQL_DOCS_PLUS_TRUNC}),
+labels AS ({cc_sql(pair_edges, k)})
+SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS canonical_id,
+       CAST(COALESCE(l.label, d.doc_id) = d.doc_id AS BIGINT) AS keep
+FROM docs2 d LEFT JOIN labels l ON l.id = d.doc_id
+""".strip()
+
+
 # --- rows-only queries (non-SQL-expressible at convergence) ----------------
 
 def q_pagerank_converged(spark, sf_dir):
@@ -1603,6 +1677,8 @@ QUERIES = {
     "near_dup_emb_lsh": q_near_dup_emb_lsh,
     "ann_lsh": q_ann_lsh,
     "media_features": q_media_features,
+    "media_meta": q_media_meta,
+    "dedup_lsh_cc": q_dedup_lsh_cc,
 }
 
 ORACLES = {
@@ -1650,6 +1726,8 @@ ORACLES = {
     "near_dup_embeddings": SQL_NEAR_DUP_EMB,
     "near_dup_emb_lsh": _near_dup_emb_lsh_sql(),
     "ann_lsh": _ann_lsh_sql(),
+    "media_meta": SQL_MEDIA_META,
+    "dedup_lsh_cc": dedup_lsh_cc_sql(),
     # rows-only (no SQL oracle): pagerank_converged (unbounded-k
     # convergence), hyperanf (unbounded-k — value-verified at fixed k via
     # hyperanf_k3), als_sweeps/

@@ -65,3 +65,35 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.queries()) >= set(mod.oracle_sql())
+
+
+def test_media_meta_hash_never_wraps():
+    """SQL_MEDIA_META mirrors the numpy kernel's h = doc_id*2654435761 %
+    997 with plain BIGINT math; the two agree only while the product
+    stays below 2^63 (numpy wraps mod 2^64, DuckDB would overflow-error).
+    Assert the invariant holds for every test/bench tier's id range."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        mx = duckdb.sql(f"SELECT MAX(doc_id) FROM read_parquet('{p}')").fetchone()[0]
+        assert mx * 2654435761 < 2**63, sf
+
+
+def test_dedup_lsh_cc_semantics(spark, con):
+    """Dedup clustering invariants beyond the value-hash: labels are
+    hash-min (canonical <= own id), kept rows are exactly the canonical
+    ids, and every LSH-paired truncation collapses into its original's
+    cluster."""
+    from chaos_spark.harness import QUERIES, SQL_LSH_PAIRS
+
+    out = QUERIES["dedup_lsh_cc"](spark, SF_DIR).toPandas()
+    assert (out.canonical_id <= out.doc_id).all()
+    kept = set(out.loc[out.keep == 1, "doc_id"])
+    assert kept == set(out.canonical_id.unique())
+    canon = dict(zip(out.doc_id, out.canonical_id))
+    pairs = con.execute(SQL_LSH_PAIRS).df()
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert canon[a] == canon[b], (a, b)
