@@ -409,9 +409,17 @@ def _agg_runs(runs: list[dict]) -> dict:
     # median across repeats — robust to a WHOLE repeat being stalled by
     # host noise (a pooled median shifts when half of one repeat's steps
     # are inflated; the per-repeat median quarantines it).
-    med = statistics.median(
-        statistics.median(r["per_superstep_sec"]) for r in runs
-    )
+    per_repeat_med = [statistics.median(r["per_superstep_sec"]) for r in runs]
+    med = statistics.median(per_repeat_med)
+    # Noise-floor statistic (reported ALONGSIDE the median, never instead
+    # of it): the best per-repeat median. Rationale: the co-tenant noise
+    # this VM experiences (r4: zero-steal 2x slowdowns of the memory-bound
+    # kernel, i.e. a neighbor sharing the memory bus) only ever ADDS wall
+    # time, so each leg's cleanest repeat is the tightest available bound
+    # on the engine's own cost — the same argument as timeit's min-of-
+    # repeats. The floor efficiency derived from it is the engine signal;
+    # the median efficiency is the declared headline.
+    floor = min(per_repeat_med)
     # Host-noise attribution: per-superstep hypervisor steal fraction
     # (engine records /proc/stat deltas). This VM throttles sustained
     # load at the hypervisor — r4 measured 3-8 s supersteps on a
@@ -431,6 +439,8 @@ def _agg_runs(runs: list[dict]) -> dict:
         "per_superstep_steal_all": [r.get("per_superstep_steal") for r in runs],
         "median_steal_frac": round(statistics.median(steals), 4) if steals else None,
         "max_steal_frac": round(max(steals), 4) if steals else None,
+        "per_repeat_median_sec": [round(m, 3) for m in per_repeat_med],
+        "floor_superstep_sec": round(floor, 3),
         "median_superstep_sec": round(med, 3),
         "steady_supersteps_per_sec": round(1.0 / med, 4),
         "steady_edges_per_sec": round(runs[0]["edges"] / med, 1),
@@ -475,6 +485,11 @@ def run_scaling(
         statistics.median(a_hi["wall_edges_per_sec_each"])
         / statistics.median(a_lo["wall_edges_per_sec_each"])
     ) / (hi / lo)
+    # Floor efficiency: each leg at its cleanest repeat (see _agg_runs) —
+    # the engine-signal companion to the declared median headline.
+    floor_eff = (
+        a_lo["floor_superstep_sec"] / a_hi["floor_superstep_sec"]
+    ) / (hi / lo)
     out = {
         "graph": {"scale": scale, "edges": num_edges, "path": path},
         "algo_path": algo_path,
@@ -484,6 +499,7 @@ def run_scaling(
         "runs": {f"local[{lo}]": a_lo, f"local[{hi}]": a_hi},
         "scaling_efficiency": round(eff, 4),
         "scaling_efficiency_wall": round(wall_eff, 4),
+        "scaling_efficiency_floor": round(floor_eff, 4),
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -565,14 +581,25 @@ wall second across all repeats of a leg (the north metric is per-superstep
 throughput; medians are the defensible statistic on a shared VM). Raw wall
 times for every repeat are listed for transparency.
 
-| config | graph edges | supersteps x repeats | median superstep (s) | steady supersteps/sec | steady edges/sec | median/max steal | wall (s) each |
-|---|---|---|---|---|---|---|---|
-| local[{lo}] | {rl['edges']:,} | {rl['supersteps_each']} x {rl['repeats']} | {rl['median_superstep_sec']} | {rl['steady_supersteps_per_sec']} | {rl['steady_edges_per_sec']:,} | {rl['median_steal_frac']}/{rl['max_steal_frac']} | {rl['wall_sec_each']} |
-| local[{hi}] | {rh['edges']:,} | {rh['supersteps_each']} x {rh['repeats']} | {rh['median_superstep_sec']} | {rh['steady_supersteps_per_sec']} | {rh['steady_edges_per_sec']:,} | {rh['median_steal_frac']}/{rh['max_steal_frac']} | {rh['wall_sec_each']} |
+| config | graph edges | supersteps x repeats | median superstep (s) | per-repeat medians (s) | steady supersteps/sec | steady edges/sec | median/max steal | wall (s) each |
+|---|---|---|---|---|---|---|---|---|
+| local[{lo}] | {rl['edges']:,} | {rl['supersteps_each']} x {rl['repeats']} | {rl['median_superstep_sec']} | {rl['per_repeat_median_sec']} | {rl['steady_supersteps_per_sec']} | {rl['steady_edges_per_sec']:,} | {rl['median_steal_frac']}/{rl['max_steal_frac']} | {rl['wall_sec_each']} |
+| local[{hi}] | {rh['edges']:,} | {rh['supersteps_each']} x {rh['repeats']} | {rh['median_superstep_sec']} | {rh['per_repeat_median_sec']} | {rh['steady_supersteps_per_sec']} | {rh['steady_edges_per_sec']:,} | {rh['median_steal_frac']}/{rh['max_steal_frac']} | {rh['wall_sec_each']} |
 
 **Scaling efficiency (steady-state) = (thr[{hi}] / thr[{lo}]) / {hi // lo} = {out['scaling_efficiency']}**
 (target >= 0.8: {"PASS" if out['pass'] else "FAIL"})
 Whole-wall efficiency (includes per-leg setup, medians over repeats): {out['scaling_efficiency_wall']}.
+Noise-floor efficiency (each leg at its cleanest repeat — the engine-signal
+companion statistic; co-tenant noise on this VM only ever ADDS time, so the
+best repeat is the tightest bound on the engine's own cost):
+**{out['scaling_efficiency_floor']}**.
+
+Host-noise attribution: per-superstep hypervisor steal is recorded with every
+leg (column above; full trail in BENCH/scaling_latest.json). r4 additionally
+measured zero-steal ~2x slowdowns of the memory-bound kernel that come and go
+on ~10-minute timescales — a co-tenant sharing the memory bus, invisible to
+steal accounting. See BENCH/SCALING_ANALYSIS.md §5 for the r4 evidence trail
+(same leg, same code: 2.8 s vs 5.9 s median supersteps, steal < 1% in both).
 
 Graph: seeded RMAT scale={out['graph']['scale']} (FIXTURES.md G4-large recipe),
 persisted once at `{out['graph']['path']}` so both runs scan the same bytes.

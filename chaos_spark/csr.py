@@ -132,7 +132,7 @@ def _lookup_strict(
     return values[order[clipped]]
 
 
-def _gather_positions(token: str, pid: int, ids_sorted: np.ndarray, src: np.ndarray):
+def _gather_positions(token: str, pid: int, ids_sorted: np.ndarray, src):
     """Cached src -> sorted-state-row positions for the disk kernels.
 
     The per-partition vertex-id SET is invariant across supersteps (state
@@ -143,6 +143,15 @@ def _gather_positions(token: str, pid: int, ids_sorted: np.ndarray, src: np.ndar
     positions, and the saved random traffic is exactly what the host's
     memory-bandwidth ceiling punishes at high parallelism.
 
+    ``src`` may be the block's src array OR a zero-arg callable returning
+    it — disk kernels pass a lazy loader so the src column is only ever
+    read from the .npz on a position-cache MISS and never occupies cache
+    bytes (r4: src was 8 MB/block of dead weight after this function ran,
+    pushing the 64-block working set past the cache cap and causing
+    steady-state churn). Positions are stored int32 (per-partition state
+    is always < 2^31 rows), halving the per-edge index traffic the
+    memory-bound kernel streams every superstep.
+
     Safety is unchanged: a cache hit requires ids_sorted to EQUAL the
     cached ids (vectorized compare, ~0.05 ms); any repartitioning
     recomputes and re-runs the strict misalignment check, which still
@@ -151,6 +160,8 @@ def _gather_positions(token: str, pid: int, ids_sorted: np.ndarray, src: np.ndar
     ent = _BLOCK_CACHE.get(key)
     if ent is not None and np.array_equal(ent["ids"], ids_sorted):
         return ent["pos"]
+    if callable(src):
+        src = src()
     idx = np.searchsorted(ids_sorted, src)
     pos = np.clip(idx, 0, max(len(ids_sorted) - 1, 0))
     if len(ids_sorted) == 0 or not np.array_equal(ids_sorted[pos], src):
@@ -161,6 +172,8 @@ def _gather_positions(token: str, pid: int, ids_sorted: np.ndarray, src: np.ndar
             f"CSR disk block misaligned with state partitioning: {missing}/"
             f"{len(src)} block src ids absent from this state partition"
         )
+    if len(ids_sorted) <= np.iinfo(np.int32).max:
+        pos = pos.astype(np.int32, copy=False)
     _cache_put(key, {"ids": ids_sorted.copy(), "pos": pos})
     return pos
 
@@ -199,7 +212,18 @@ def _auto_dispatch_to_join(
 
 def _load_disk_block(token: str, pid: int, block_dir: str):
     """Worker-side block fetch: bytes-capped cache, else the .npz file.
-    Returns None when the partition holds no edges (no file written)."""
+    Returns None when the partition holds no edges (no file written).
+
+    Deliberately does NOT read or cache the block's ``src`` column: the
+    hot path only needs it once per worker to build the cached gather
+    positions (see :func:`_gather_positions`), so kernels pass
+    :func:`_disk_src` as a lazy loader instead. Cutting src from the
+    cached entry shrinks the per-block working set ~30% — on the 64M-edge
+    bench graph that is the difference between the whole block set
+    fitting the per-worker byte cap and steady-state eviction churn.
+    ``dst_inverse`` is widened to int64 once at load: np.bincount requires
+    intp indices, and caching the widened array avoids a per-superstep
+    8 B/edge conversion pass."""
     key = (token, pid)
     blk = _BLOCK_CACHE.get(key)
     if blk is not None:
@@ -209,7 +233,6 @@ def _load_disk_block(token: str, pid: int, block_dir: str):
         return None
     with np.load(path, allow_pickle=False) as z:
         blk = {
-            "src": z["src"],
             "dst_unique": z["du"],
             "dst_inverse": z["di"].astype(np.int64),
         }
@@ -217,6 +240,14 @@ def _load_disk_block(token: str, pid: int, block_dir: str):
             blk["w"] = z["w"]
     _cache_put(key, blk)
     return blk
+
+
+def _disk_src(block_dir: str, pid: int) -> np.ndarray:
+    """Read ONLY the src column of a disk block (position-cache misses).
+    npz members are read lazily, so this never touches du/di bytes."""
+    with np.load(_os.path.join(block_dir, f"part-{pid}.npz"),
+                 allow_pickle=False) as z:
+        return z["src"]
 
 
 # -- packed blocks: X-Stream's fixed-size packed records, one blob per
@@ -404,7 +435,7 @@ class CsrGraph:
                     stored = f.read().strip()
             except OSError:
                 stored = ""
-            if stored == f"{self.num_edges}:{self.p}:{self.edge_fp:x}":
+            if stored == f"v2:{self.num_edges}:{self.p}:{self.edge_fp:x}":
                 return
             import shutil
 
@@ -431,6 +462,13 @@ class CsrGraph:
                 n = len(src)
                 if n:
                     du, di = np.unique(dst, return_inverse=True)
+                    # Narrow src to int32 when every id fits — halves the
+                    # bytes a position-cache miss reads, and on a 100 TB
+                    # deployment halves the block files' src footprint.
+                    # Graphs with >2^31 vertex ids keep int64 (the loader
+                    # handles either dtype; searchsorted upcasts).
+                    if n and -(2**31) <= int(src.min()) and int(src.max()) < 2**31:
+                        src = src.astype(np.int32)
                     arrays = {"src": src, "du": du, "di": di.astype(np.uint32)}
                     if weighted:
                         arrays["w"] = np.concatenate(ws)
@@ -447,7 +485,7 @@ class CsrGraph:
         )
         assert sum(r["n"] for r in built) == self.num_edges
         with open(marker, "w") as f:
-            f.write(f"{self.num_edges}:{self.p}:{self.edge_fp:x}")
+            f.write(f"v2:{self.num_edges}:{self.p}:{self.edge_fp:x}")
 
     def part_col(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.p)).cast("int")
@@ -580,7 +618,8 @@ def _pagerank_csr_disk(
         od = pdf["out_degree"].to_numpy(dtype=np.float64)
         rank = pdf["rank"].to_numpy(dtype=np.float64)
         m = np.where(od > 0, rank / np.where(od > 0, od, 1.0), 0.0)
-        pos = _gather_positions(token, pid, ids[order], blk["src"])
+        pos = _gather_positions(token, pid, ids[order],
+                                lambda: _disk_src(block_dir, pid))
         m_edge = m[order][pos]
         if "w" in blk:  # type-2 block: message = rank(u)/W(u) * w(e)
             m_edge = m_edge * blk["w"]
@@ -781,7 +820,8 @@ def _cc_csr_disk(
         ids = pdf[ID].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         labels = pdf["label"].to_numpy(dtype=np.int64)
-        pos = _gather_positions(token, pid, ids[order], blk["src"])
+        pos = _gather_positions(token, pid, ids[order],
+                                lambda: _disk_src(block_dir, pid))
         lab_edge = labels[order][pos]
         out = np.full(len(blk["dst_unique"]), np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(out, blk["dst_inverse"], lab_edge)
@@ -877,7 +917,8 @@ def _lpa_csr_disk(
         ids = pdf[ID].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         labels = pdf["label"].to_numpy(dtype=np.int64)
-        pos = _gather_positions(token, pid, ids[order], blk["src"])
+        pos = _gather_positions(token, pid, ids[order],
+                                lambda: _disk_src(block_dir, pid))
         lab_edge = labels[order][pos]
         di = blk["dst_inverse"]
         # partial count per (dst, label): lexsort + run-length boundaries
