@@ -9,23 +9,41 @@ interval, and the update stream routed to it.
 Three block layouts; ``layout="disk"`` is the default (round 2):
 
 - **disk** — the X-Stream edge-file image done right. Edges are hash-
-  partitioned ONCE by Spark's own ``repartition(p, src)`` and each
-  physical partition's CSR arrays (src, dst_unique, dst_inverse) are
-  written to ONE .npz block file, named by partition index. Per superstep
-  only the (small) vertex state flows JVM->Python through ``mapInPandas``;
-  the kernel finds its block via ``TaskContext.partitionId()`` in a
-  bytes-capped worker cache, falling back to the block file on disk —
-  written once, streamed every iteration, no locality assumption (the
-  block dir is shared storage on a real cluster: Chaos's slipstore model,
+  partitioned ONCE by Spark's own ``repartition(p, src)``, sorted by
+  ``dst`` within the partition, and each physical partition's CSR arrays
+  are written to ONE block directory of mmap-able .npy files, named by
+  partition index. Per superstep only the (small) vertex state flows
+  JVM->Python through ``mapInPandas``; the kernel MEMORY-MAPS its block
+  via ``TaskContext.partitionId()`` — written once, faulted from the
+  shared page cache every iteration, no locality assumption (the block
+  dir is shared storage on a real cluster: Chaos's slipstore model,
   [C15] §4). Round-1's cogroup layout re-shipped + re-sorted ALL edge
   rows JVM->Python every superstep, which made the CSR path 2.3x SLOWER
   than the join path; disk layout ships zero edge bytes per superstep.
+
+  Block format v4 (round 4): the src->state-row gather POSITIONS are
+  computed at build time and stored in the block, against the sorted
+  per-partition vertex-id vector ``ids`` (also stored). The id set of a
+  state partition is fully determined by the graph + the Murmur3 pmod
+  partitioner, so positions never depend on which Python worker serves
+  the task — r4 diagnosed the v2 per-worker position cache at a 78%
+  MISS rate under Spark's nondeterministic task placement (16 workers x
+  64 blocks), each miss costing ~500 ms of searchsorted against ~24 ms
+  for the whole hit-path kernel; build-time positions make every task a
+  hit from superstep 1 on every worker. Edges are stored dst-SORTED so
+  the per-dst accumulation (bincount / minimum.at over a now-MONOTONE
+  dst_inverse) is streaming writes instead of random scatter (measured
+  2.2x / 2.7x on the bench block shape), bit-identical results (stable
+  sort preserves per-dst addition order). Blocks are MEMORY-MAPPED, not
+  read: all workers on a host share one physical copy of each block
+  (the v2 scheme measured 90-870 ms read-and-widen loads per cold
+  (worker, block) pair and duplicated blocks into every worker's cache).
   Alignment contract: state is hash(id, p)-partitioned with the SAME
   Murmur3 pmod as the edge build, AQE is pinned off inside the run so no
-  re-planning changes partition counts, and the kernel verifies every
-  block src resolves to a state row (raises loudly on misalignment — a
-  wrong-but-silent gather is the one failure mode this design must not
-  have).
+  re-planning changes partition counts, and the kernel verifies the
+  state partition's sorted id vector EQUALS the block's stored ``ids``
+  (raises loudly on misalignment — a wrong-but-silent gather is the one
+  failure mode this design must not have).
 
 - **rows** — round-1 cogroup of raw edge rows with worker-memoized blocks
   (kept for A/B tests).
@@ -77,14 +95,23 @@ _BLOCK_CACHE_BYTES = int(_os.environ.get("CHAOS_BLOCK_CACHE_BYTES", 256 * 1024 *
 _cache_bytes = 0
 
 
+def _blk_nbytes(blk: dict[str, np.ndarray]) -> int:
+    # memmapped members are shared page-cache, not worker RSS — account
+    # them at a nominal fd/VMA overhead so the byte cap governs only
+    # arrays this worker actually materialized.
+    return sum(
+        4096 if isinstance(a, np.memmap) else int(a.nbytes) for a in blk.values()
+    )
+
+
 def _cache_put(key, blk: dict[str, np.ndarray]) -> None:
     global _cache_bytes
-    nbytes = sum(int(a.nbytes) for a in blk.values())
+    nbytes = _blk_nbytes(blk)
     if nbytes > _BLOCK_CACHE_BYTES:
         return
     while _BLOCK_CACHE and _cache_bytes + nbytes > _BLOCK_CACHE_BYTES:
         old = _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))  # FIFO eviction
-        _cache_bytes -= sum(int(a.nbytes) for a in old.values())
+        _cache_bytes -= _blk_nbytes(old)
     _BLOCK_CACHE[key] = blk
     _cache_bytes += nbytes
 
@@ -111,71 +138,20 @@ def _lookup(state_ids: np.ndarray, order: np.ndarray, values: np.ndarray, src: n
     return values[order[np.clip(idx, 0, len(order) - 1)]]
 
 
-def _lookup_strict(
-    state_ids: np.ndarray, order: np.ndarray, values: np.ndarray, src: np.ndarray
-):
-    """Like _lookup but RAISES if any src id is missing from the state
-    partition — the disk layout's misalignment guard (an AQE re-plan or a
-    parquet round trip silently changing partitioning must fail loudly,
-    never gather from the wrong rows). One extra vectorized compare."""
-    ids_sorted = state_ids[order]
-    idx = np.searchsorted(ids_sorted, src)
-    clipped = np.clip(idx, 0, len(order) - 1)
-    if len(ids_sorted) == 0 or not np.array_equal(ids_sorted[clipped], src):
-        missing = int(
-            (len(src) - (ids_sorted[clipped] == src).sum()) if len(ids_sorted) else len(src)
-        )
+def _check_aligned(blk: dict[str, np.ndarray], ids_sorted: np.ndarray) -> None:
+    """The disk kernels' misalignment guard: the state partition's sorted
+    id vector must EQUAL the block's build-time ``ids`` — the block's
+    stored gather positions index into exactly that vector. An AQE
+    re-plan, a parquet round trip, or a partitioner change silently
+    altering the state layout must fail loudly, never gather from the
+    wrong rows. Vectorized compare over |V|/p int64s, ~0.05 ms."""
+    if not np.array_equal(blk["ids"], ids_sorted):
+        inter = len(np.intersect1d(blk["ids"], ids_sorted, assume_unique=True))
         raise RuntimeError(
-            f"CSR disk block misaligned with state partitioning: {missing}/"
-            f"{len(src)} block src ids absent from this state partition"
+            "CSR disk block misaligned with state partitioning: block has "
+            f"{len(blk['ids'])} ids, state partition {len(ids_sorted)}, "
+            f"{inter} common"
         )
-    return values[order[clipped]]
-
-
-def _gather_positions(token: str, pid: int, ids_sorted: np.ndarray, src):
-    """Cached src -> sorted-state-row positions for the disk kernels.
-
-    The per-partition vertex-id SET is invariant across supersteps (state
-    is hash(id, p)-partitioned and the id set never changes), so the
-    binary-search mapping block.src -> position-in-sorted-ids only needs
-    computing once per (graph, partition) per worker — r3 microbench:
-    searchsorted+check+gather 182 ms/block vs 3.3 ms with the cached
-    positions, and the saved random traffic is exactly what the host's
-    memory-bandwidth ceiling punishes at high parallelism.
-
-    ``src`` may be the block's src array OR a zero-arg callable returning
-    it — disk kernels pass a lazy loader so the src column is only ever
-    read from the .npz on a position-cache MISS and never occupies cache
-    bytes (r4: src was 8 MB/block of dead weight after this function ran,
-    pushing the 64-block working set past the cache cap and causing
-    steady-state churn). Positions are stored int32 (per-partition state
-    is always < 2^31 rows), halving the per-edge index traffic the
-    memory-bound kernel streams every superstep.
-
-    Safety is unchanged: a cache hit requires ids_sorted to EQUAL the
-    cached ids (vectorized compare, ~0.05 ms); any repartitioning
-    recomputes and re-runs the strict misalignment check, which still
-    RAISES if a block src is absent from the state partition."""
-    key = (token, pid, "pos")
-    ent = _BLOCK_CACHE.get(key)
-    if ent is not None and np.array_equal(ent["ids"], ids_sorted):
-        return ent["pos"]
-    if callable(src):
-        src = src()
-    idx = np.searchsorted(ids_sorted, src)
-    pos = np.clip(idx, 0, max(len(ids_sorted) - 1, 0))
-    if len(ids_sorted) == 0 or not np.array_equal(ids_sorted[pos], src):
-        missing = int(
-            (len(src) - (ids_sorted[pos] == src).sum()) if len(ids_sorted) else len(src)
-        )
-        raise RuntimeError(
-            f"CSR disk block misaligned with state partitioning: {missing}/"
-            f"{len(src)} block src ids absent from this state partition"
-        )
-    if len(ids_sorted) <= np.iinfo(np.int32).max:
-        pos = pos.astype(np.int32, copy=False)
-    _cache_put(key, {"ids": ids_sorted.copy(), "pos": pos})
-    return pos
 
 
 _DISK_BLOCK_BASE = _os.environ.get("CHAOS_CSR_BLOCK_DIR", "/tmp/chaos_csr_blocks")
@@ -210,44 +186,45 @@ def _auto_dispatch_to_join(
     return ne if ne < CSR_AUTO_MIN_EDGES else None
 
 
-def _load_disk_block(token: str, pid: int, block_dir: str):
-    """Worker-side block fetch: bytes-capped cache, else the .npz file.
-    Returns None when the partition holds no edges (no file written).
+_BLOCK_MEMBERS = ("ids", "pos", "du", "di", "w")
+_BLOCK_KEYS = {"du": "dst_unique", "di": "dst_inverse"}
 
-    Deliberately does NOT read or cache the block's ``src`` column: the
-    hot path only needs it once per worker to build the cached gather
-    positions (see :func:`_gather_positions`), so kernels pass
-    :func:`_disk_src` as a lazy loader instead. Cutting src from the
-    cached entry shrinks the per-block working set ~30% — on the 64M-edge
-    bench graph that is the difference between the whole block set
-    fitting the per-worker byte cap and steady-state eviction churn.
-    ``dst_inverse`` is widened to int64 once at load: np.bincount requires
-    intp indices, and caching the widened array avoids a per-superstep
-    8 B/edge conversion pass."""
+
+def _load_disk_block(token: str, pid: int, block_dir: str):
+    """Worker-side block fetch: MEMORY-MAPPED .npy members from the
+    block's directory. Returns None when the partition holds no edges
+    (no directory written).
+
+    v3 block members (all edge-order = sorted by dst):
+      ids — sorted vertex ids of state partition pid (alignment anchor)
+      pos — int32 build-time gather positions: edge src -> row in ids
+      du  — sorted unique dst;  di — MONOTONE int64 dst_inverse
+      w   — float64 edge weights (type-2 blocks only)
+
+    mmap, not read: on tmpfs (and on a warm page cache anywhere) every
+    worker process shares ONE physical copy of each block — r4 measured
+    the v2 read-into-RAM scheme paying 90-870 ms npz loads per
+    (worker, block) cold pair under Spark's nondeterministic task
+    placement, and duplicating up to the full block set into EVERY
+    worker's byte-capped cache. A memmap "load" is ~5 file opens; the
+    kernel's reads fault straight onto the shared pages. The worker
+    cache therefore only accounts the tiny mmap overhead, not the
+    mapped bytes (see _cache_put)."""
     key = (token, pid)
     blk = _BLOCK_CACHE.get(key)
     if blk is not None:
         return blk
-    path = _os.path.join(block_dir, f"part-{pid}.npz")
-    if not _os.path.exists(path):
+    d = _os.path.join(block_dir, f"part-{pid}")
+    if not _os.path.isdir(d):
         return None
-    with np.load(path, allow_pickle=False) as z:
-        blk = {
-            "dst_unique": z["du"],
-            "dst_inverse": z["di"].astype(np.int64),
-        }
-        if "w" in z.files:  # type-2 (weighted) block
-            blk["w"] = z["w"]
+    blk = {}
+    for name in _BLOCK_MEMBERS:
+        p = _os.path.join(d, f"{name}.npy")
+        if name == "w" and not _os.path.exists(p):
+            continue
+        blk[_BLOCK_KEYS.get(name, name)] = np.load(p, mmap_mode="r")
     _cache_put(key, blk)
     return blk
-
-
-def _disk_src(block_dir: str, pid: int) -> np.ndarray:
-    """Read ONLY the src column of a disk block (position-cache misses).
-    npz members are read lazily, so this never touches du/di bytes."""
-    with np.load(_os.path.join(block_dir, f"part-{pid}.npz"),
-                 allow_pickle=False) as z:
-        return z["src"]
 
 
 # -- packed blocks: X-Stream's fixed-size packed records, one blob per
@@ -370,9 +347,12 @@ class CsrGraph:
         self.blocks = None
         self._ephemeral_blocks = token is None
         if layout == "disk":
-            self._build_disk_blocks(e)
+            # Vertex pre-pass FIRST: the v3 block build stores build-time
+            # gather positions against each partition's sorted id vector,
+            # which is derived from the full vertex set (src ∪ dst).
             self.verts = vertices_from_edges(e).persist()
             self.num_vertices = self.verts.count()
+            self._build_disk_blocks(e)
             if self.weighted:
                 # Out-STRENGTH W(u) = Σw — the weighted degree pre-pass;
                 # the state's out_degree column is then a double.
@@ -414,9 +394,30 @@ class CsrGraph:
             self.edges.unpersist()
 
     def _build_disk_blocks(self, e: DataFrame) -> None:
-        """One job: hash-partition edges by src, write one .npz CSR block
-        per physical partition (atomic rename — idempotent under task
-        retry/speculation), named by TaskContext.partitionId()."""
+        """Two jobs, both bounded by partition count on the driver side:
+
+        1. vertex pass — hash-partition the vertex set by id (the SAME
+           ``repartition(p, col)`` Murmur3 layout align_state gives the
+           running state) and write each partition's SORTED id vector to
+           ``ids-{pid}.npy``.
+        2. edge pass — hash-partition edges by src, sort each partition's
+           edges by dst (stable), and write one v3 block DIRECTORY per
+           partition (part-{pid}/{ids,pos,du,di,w}.npy — plain .npy so
+           the kernels can MEMORY-MAP them): the partition's ids,
+           BUILD-TIME gather positions (searchsorted of src into ids —
+           strict-checked here, once, instead of per task per worker),
+           sorted unique dst, and the monotone dst_inverse. The whole
+           directory is renamed into place atomically — idempotent under
+           task retry/speculation, and no torn multi-file block can ever
+           be observed (a concurrent attempt's rename onto an existing
+           block fails and discards its temp dir; both attempts hold
+           identical content up to same-dst edge order, which bincount/
+           minimum.at/LPA-count results do not depend on... but gather
+           positions and weights DO pair per-edge, hence the all-or-
+           nothing directory swap).
+
+        The ids .npy intermediates are removed after the marker write."""
+        import glob as _glob
         import hashlib
 
         safe = hashlib.md5(self.token.encode()).hexdigest()[:16]
@@ -429,19 +430,40 @@ class CsrGraph:
             # silent gather over a stale graph. The marker records
             # "{num_edges}:{p}:{content_fp}" — the xor-fold fingerprint
             # catches same-count-different-edges regeneration too; any
-            # mismatch (or an old-format marker) wipes and rebuilds.
+            # mismatch (or an old-format marker, e.g. v2) wipes and
+            # rebuilds.
             try:
                 with open(marker) as f:
                     stored = f.read().strip()
             except OSError:
                 stored = ""
-            if stored == f"v2:{self.num_edges}:{self.p}:{self.edge_fp:x}":
+            if stored == f"v4:{self.num_edges}:{self.p}:{self.edge_fp:x}":
                 return
             import shutil
 
             shutil.rmtree(self.block_dir, ignore_errors=True)
         _os.makedirs(self.block_dir, exist_ok=True)
         bd = self.block_dir
+
+        def write_ids(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            parts = [pdf[ID].to_numpy(dtype=np.int64) for pdf in batches]
+            ids = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+            if len(ids):
+                tmp = _os.path.join(bd, f".ids-{pid}.{_os.getpid()}.tmp")
+                with open(tmp, "wb") as f:
+                    np.save(f, ids)
+                _os.replace(tmp, _os.path.join(bd, f"ids-{pid}.npy"))
+            yield pd.DataFrame({"part": [pid], "n": [len(ids)]})
+
+        vcount = (
+            self.verts.repartition(self.p, F.col(ID))
+            .mapInPandas(write_ids, schema="part int, n long")
+            .collect()  # p rows
+        )
+        assert sum(r["n"] for r in vcount) == self.num_vertices
 
         weighted = self.weighted
 
@@ -460,22 +482,44 @@ class CsrGraph:
                 src = np.concatenate(srcs)
                 dst = np.concatenate(dsts)
                 n = len(src)
-                if n:
-                    du, di = np.unique(dst, return_inverse=True)
-                    # Narrow src to int32 when every id fits — halves the
-                    # bytes a position-cache miss reads, and on a 100 TB
-                    # deployment halves the block files' src footprint.
-                    # Graphs with >2^31 vertex ids keep int64 (the loader
-                    # handles either dtype; searchsorted upcasts).
-                    if n and -(2**31) <= int(src.min()) and int(src.max()) < 2**31:
-                        src = src.astype(np.int32)
-                    arrays = {"src": src, "du": du, "di": di.astype(np.uint32)}
-                    if weighted:
-                        arrays["w"] = np.concatenate(ws)
-                    tmp = _os.path.join(bd, f".part-{pid}.{_os.getpid()}.tmp")
-                    with open(tmp, "wb") as f:
-                        np.savez(f, **arrays)
-                    _os.replace(tmp, _os.path.join(bd, f"part-{pid}.npz"))
+            if n:
+                # Stable dst sort: per-dst edge order is preserved, so the
+                # kernel's bincount over the monotone inverse reproduces
+                # the v2 float sums BIT-exactly while the accumulation
+                # becomes streaming writes instead of random scatter.
+                o = np.argsort(dst, kind="stable")
+                src, dst = src[o], dst[o]
+                du, di = np.unique(dst, return_inverse=True)
+                ids = np.load(_os.path.join(bd, f"ids-{pid}.npy"))
+                idx = np.searchsorted(ids, src)
+                pos = np.clip(idx, 0, max(len(ids) - 1, 0))
+                if len(ids) == 0 or not np.array_equal(ids[pos], src):
+                    raise RuntimeError(
+                        f"CSR block build: partition {pid} has edge src ids "
+                        "outside its vertex partition — partitioner mismatch"
+                    )
+                arrays = {
+                    "ids": ids,
+                    "pos": pos.astype(np.int32),  # |ids| < 2^31 always
+                    "du": du,
+                    # int64 on disk: np.bincount/minimum.at need intp and
+                    # the kernels read it straight off the mmap
+                    "di": di.astype(np.int64, copy=False),
+                }
+                if weighted:
+                    arrays["w"] = np.concatenate(ws)[o]
+                tmp = _os.path.join(bd, f".part-{pid}.{_os.getpid()}.tmp")
+                _os.makedirs(tmp, exist_ok=True)
+                for name, arr in arrays.items():
+                    with open(_os.path.join(tmp, f"{name}.npy"), "wb") as f:
+                        np.save(f, arr)
+                final = _os.path.join(bd, f"part-{pid}")
+                try:
+                    _os.rename(tmp, final)
+                except OSError:
+                    import shutil
+
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
             yield pd.DataFrame({"part": [pid], "n": [n]})
 
         built = (
@@ -485,7 +529,9 @@ class CsrGraph:
         )
         assert sum(r["n"] for r in built) == self.num_edges
         with open(marker, "w") as f:
-            f.write(f"v2:{self.num_edges}:{self.p}:{self.edge_fp:x}")
+            f.write(f"v4:{self.num_edges}:{self.p}:{self.edge_fp:x}")
+        for p in _glob.glob(_os.path.join(bd, "ids-*.npy")):
+            _os.remove(p)
 
     def part_col(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.p)).cast("int")
@@ -618,11 +664,13 @@ def _pagerank_csr_disk(
         od = pdf["out_degree"].to_numpy(dtype=np.float64)
         rank = pdf["rank"].to_numpy(dtype=np.float64)
         m = np.where(od > 0, rank / np.where(od > 0, od, 1.0), 0.0)
-        pos = _gather_positions(token, pid, ids[order],
-                                lambda: _disk_src(block_dir, pid))
-        m_edge = m[order][pos]
+        _check_aligned(blk, ids[order])
+        m_edge = m[order][blk["pos"]]
         if "w" in blk:  # type-2 block: message = rank(u)/W(u) * w(e)
             m_edge = m_edge * blk["w"]
+        # dst_inverse is monotone (v3 blocks are dst-sorted): the scatter
+        # target advances sequentially — streaming writes, 2.2x the
+        # random-order bincount on the bench block shape.
         partial = np.bincount(blk["dst_inverse"], weights=m_edge,
                               minlength=len(blk["dst_unique"]))
         yield pd.DataFrame({DST: blk["dst_unique"], "partial": partial})
@@ -820,10 +868,10 @@ def _cc_csr_disk(
         ids = pdf[ID].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         labels = pdf["label"].to_numpy(dtype=np.int64)
-        pos = _gather_positions(token, pid, ids[order],
-                                lambda: _disk_src(block_dir, pid))
-        lab_edge = labels[order][pos]
+        _check_aligned(blk, ids[order])
+        lab_edge = labels[order][blk["pos"]]
         out = np.full(len(blk["dst_unique"]), np.iinfo(np.int64).max, dtype=np.int64)
+        # monotone dst_inverse (v3): sequential scatter, 2.7x random-order
         np.minimum.at(out, blk["dst_inverse"], lab_edge)
         yield pd.DataFrame({DST: blk["dst_unique"], "ml": out})
 
@@ -917,15 +965,30 @@ def _lpa_csr_disk(
         ids = pdf[ID].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         labels = pdf["label"].to_numpy(dtype=np.int64)
-        pos = _gather_positions(token, pid, ids[order],
-                                lambda: _disk_src(block_dir, pid))
-        lab_edge = labels[order][pos]
+        _check_aligned(blk, ids[order])
+        lab_edge = labels[order][blk["pos"]]
         di = blk["dst_inverse"]
-        # partial count per (dst, label): lexsort + run-length boundaries
-        o = np.lexsort((lab_edge, di))
-        d_s, l_s = di[o], lab_edge[o]
-        if len(d_s) == 0:
+        if len(di) == 0:
             return
+        # partial count per (dst, label). Fast path: pack (dst_inverse,
+        # label) into ONE int64 key — di < 2^31 slots, labels (vertex
+        # ids) in [0, 2^31) — and np.sort it directly: no argsort
+        # permutation gather, no two-key lexsort. Measured 9.3x over the
+        # lexsort on the bench block shape (37 vs 348 ms/block), and the
+        # sort was LPA's dominant kernel cost. Labels outside the packable
+        # domain fall back to the lexsort (identical output).
+        if (
+            len(blk["dst_unique"]) < 2**31
+            and lab_edge.min() >= 0
+            and lab_edge.max() < 2**31
+        ):
+            key = (di << np.int64(31)) | lab_edge
+            key.sort()  # di is monotone already (v3) — near-sorted input
+            d_s = key >> np.int64(31)
+            l_s = key & np.int64(2**31 - 1)
+        else:
+            o = np.lexsort((lab_edge, di))
+            d_s, l_s = di[o], lab_edge[o]
         boundary = np.empty(len(d_s), dtype=bool)
         boundary[0] = True
         boundary[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])

@@ -83,9 +83,8 @@ with superstep_conf(spark, g.p, adaptive=False):
         od = pdf["out_degree"].to_numpy(dtype=np.float64)
         rank = pdf["rank"].to_numpy(dtype=np.float64)
         m = np.where(od > 0, rank / np.where(od > 0, od, 1.0), 0.0)
-        pos = _gather_positions(token, pid, ids[order],
-                            lambda: _disk_src(block_dir, pid))
-        m_edge = m[order][pos]
+        _check_aligned(blk, ids[order])
+        m_edge = m[order][blk["pos"]]
         partial = np.bincount(blk["dst_inverse"], weights=m_edge,
                               minlength=len(blk["dst_unique"]))
         yield pd.DataFrame({DST: blk["dst_unique"], "partial": partial})

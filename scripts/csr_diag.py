@@ -31,7 +31,7 @@ shuffle = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 os.environ.setdefault("CHAOS_AQE", "off")
 os.environ.setdefault("CHAOS_CSR_BLOCK_DIR", "/dev/shm/chaos_csr_blocks")
 
-from chaos_spark.csr import CsrGraph, _disk_src, _gather_positions, _load_disk_block  # noqa: E402
+from chaos_spark.csr import CsrGraph, _check_aligned, _load_disk_block  # noqa: E402
 from chaos_spark.engine import materialize, materialize_stats, superstep_conf  # noqa: E402
 from chaos_spark.graph import DST, ID  # noqa: E402
 from chaos_spark.session import get_spark  # noqa: E402
@@ -70,9 +70,8 @@ def kernel(batches):
     od = pdf["out_degree"].to_numpy(dtype=np.float64)
     rank = pdf["rank"].to_numpy(dtype=np.float64)
     m = np.where(od > 0, rank / np.where(od > 0, od, 1.0), 0.0)
-    pos = _gather_positions(token, pid, ids[order],
-                            lambda: _disk_src(block_dir, pid))
-    m_edge = m[order][pos]
+    _check_aligned(blk, ids[order])
+    m_edge = m[order][blk["pos"]]
     partial = np.bincount(blk["dst_inverse"], weights=m_edge,
                           minlength=len(blk["dst_unique"]))
     yield pd.DataFrame({DST: blk["dst_unique"], "partial": partial})
