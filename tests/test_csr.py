@@ -169,3 +169,26 @@ def test_disk_blocks_rebuilt_on_changed_edges(spark, tmp_path, monkeypatch):
     from tests.oracles import cc_oracle
 
     assert labels == cc_oracle(g3_cliques())
+
+
+def test_check_aligned_guard():
+    """The v4 kernels' misalignment guard: the state partition's sorted id
+    vector must EQUAL the block's build-time ``ids`` — any repartitioning
+    drift (AQE re-plan, parquet round trip, partitioner change) must raise,
+    never gather silently from the wrong rows. Pure-numpy unit test of the
+    guard itself; the Spark-level layout precondition is exercised by every
+    disk-path test above via align_state."""
+    from chaos_spark.csr import _check_aligned
+
+    ids = np.array([2, 5, 9, 11], dtype=np.int64)
+    blk = {"ids": ids}
+    _check_aligned(blk, ids.copy())  # equal vector: no raise
+
+    for bad in (
+        np.array([2, 5, 9], dtype=np.int64),        # missing id
+        np.array([2, 5, 9, 11, 13], dtype=np.int64),  # extra id
+        np.array([2, 5, 10, 11], dtype=np.int64),   # same size, drifted id
+        np.array([], dtype=np.int64),               # empty state partition
+    ):
+        with pytest.raises(RuntimeError, match="misaligned"):
+            _check_aligned(blk, bad)
