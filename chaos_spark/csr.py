@@ -30,11 +30,14 @@ Three block layouts; ``layout="disk"`` is the default (round 2):
   MISS rate under Spark's nondeterministic task placement (16 workers x
   64 blocks), each miss costing ~500 ms of searchsorted against ~24 ms
   for the whole hit-path kernel; build-time positions make every task a
-  hit from superstep 1 on every worker. Edges are stored dst-SORTED so
-  the per-dst accumulation (bincount / minimum.at over a now-MONOTONE
-  dst_inverse) is streaming writes instead of random scatter (measured
-  2.2x / 2.7x on the bench block shape), bit-identical results (stable
-  sort preserves per-dst addition order). Blocks are MEMORY-MAPPED, not
+  hit from superstep 1 on every worker. Edges are stored sorted by
+  (dst-bucket, dst) — dst-bucket being the Murmur3 pmod partition of the
+  dst's state row — so per-dst accumulation is a streaming
+  ufunc.reduceat over build-time segment ``starts`` (bit-identical to
+  the v4 bincount, without re-reading a per-edge dst_inverse stream),
+  and each TARGET partition's update slice is contiguous: the v5 block
+  doubles as the slipstore update-stream routing table that
+  chaos_spark.stream's fused superstep rides. Blocks are MEMORY-MAPPED, not
   read: all workers on a host share one physical copy of each block
   (the v2 scheme measured 90-870 ms read-and-widen loads per cold
   (worker, block) pair and duplicated blocks into every worker's cache).
@@ -186,7 +189,7 @@ def _auto_dispatch_to_join(
     return ne if ne < CSR_AUTO_MIN_EDGES else None
 
 
-_BLOCK_MEMBERS = ("ids", "pos", "du", "di", "w")
+_BLOCK_MEMBERS = ("ids", "pos", "du", "di", "starts", "boff", "w")
 _BLOCK_KEYS = {"du": "dst_unique", "di": "dst_inverse"}
 
 
@@ -195,11 +198,25 @@ def _load_disk_block(token: str, pid: int, block_dir: str):
     block's directory. Returns None when the partition holds no edges
     (no directory written).
 
-    v3 block members (all edge-order = sorted by dst):
-      ids — sorted vertex ids of state partition pid (alignment anchor)
-      pos — int32 build-time gather positions: edge src -> row in ids
-      du  — sorted unique dst;  di — MONOTONE int64 dst_inverse
-      w   — float64 edge weights (type-2 blocks only)
+    v5 block members (edge-order = sorted by (dst-bucket, dst), where
+    dst-bucket is the Murmur3 pmod partition of dst — the SAME routing
+    Spark's repartition(p, id) gives the vertex state, so a block's
+    per-dst output is contiguous per TARGET PARTITION):
+      ids    — sorted vertex ids of state partition pid (alignment anchor)
+      pos    — int32 build-time gather positions: edge src -> row in ids
+      du     — unique dst in (bucket, dst) order; di — MONOTONE int64
+               dst_inverse into du
+      starts — int64 edge offsets where each du segment begins (first
+               element 0): per-dst aggregation = ufunc.reduceat(msg,
+               starts), streaming, identical accumulation order to the
+               v4 bincount but WITHOUT re-reading the 8-byte-per-edge
+               di stream every superstep
+      boff   — int64 (p+1) offsets into du delimiting each dst-bucket's
+               slice — the slipstore update-stream routing table
+               ([C15] §4: updates are appended per target streaming
+               partition; here the slice boundaries are computed once
+               at build)
+      w      — float64 edge weights (type-2 blocks only)
 
     mmap, not read: on tmpfs (and on a warm page cache anywhere) every
     worker process shares ONE physical copy of each block — r4 measured
@@ -352,7 +369,6 @@ class CsrGraph:
             # which is derived from the full vertex set (src ∪ dst).
             self.verts = vertices_from_edges(e).persist()
             self.num_vertices = self.verts.count()
-            self._build_disk_blocks(e)
             if self.weighted:
                 # Out-STRENGTH W(u) = Σw — the weighted degree pre-pass;
                 # the state's out_degree column is then a double.
@@ -364,6 +380,7 @@ class CsrGraph:
             else:
                 self.out_deg = out_degrees(e).persist()
             self.out_deg.count()
+            self._build_disk_blocks(e)  # needs verts + out_deg (apply pass)
             self.edges = e  # logical only; supersteps never touch it
             e.unpersist()  # build-time cache done; verts/degrees stay
             return
@@ -401,20 +418,32 @@ class CsrGraph:
            running state) and write each partition's SORTED id vector to
            ``ids-{pid}.npy``.
         2. edge pass — hash-partition edges by src, sort each partition's
-           edges by dst (stable), and write one v3 block DIRECTORY per
-           partition (part-{pid}/{ids,pos,du,di,w}.npy — plain .npy so
+           edges by (dst-bucket, dst) (stable; dst-bucket = the Murmur3
+           pmod partition the dst's STATE row lives in, computed by
+           Spark's own ``hash()`` so it is the repartition routing by
+           construction), and write one v5 block DIRECTORY per partition
+           (part-{pid}/{ids,pos,du,di,starts,boff,w}.npy — plain .npy so
            the kernels can MEMORY-MAP them): the partition's ids,
            BUILD-TIME gather positions (searchsorted of src into ids —
            strict-checked here, once, instead of per task per worker),
-           sorted unique dst, and the monotone dst_inverse. The whole
-           directory is renamed into place atomically — idempotent under
-           task retry/speculation, and no torn multi-file block can ever
+           unique dst + monotone dst_inverse + per-dst segment starts,
+           and the per-bucket slice offsets. The whole directory is
+           renamed into place atomically — idempotent under task
+           retry/speculation, and no torn multi-file block can ever
            be observed (a concurrent attempt's rename onto an existing
            block fails and discards its temp dir; both attempts hold
-           identical content up to same-dst edge order, which bincount/
-           minimum.at/LPA-count results do not depend on... but gather
-           positions and weights DO pair per-edge, hence the all-or-
-           nothing directory swap).
+           identical content up to same-dst edge order, which reduceat/
+           LPA-count results do not depend on... but gather positions
+           and weights DO pair per-edge, hence the all-or-nothing
+           directory swap).
+        3. apply pass — for each VERTEX partition q, precompute the
+           slipstore apply plan: the positions of every block's bucket-q
+           du slice within q's sorted id vector (``apos``, int32, concat
+           in block order; ``aoff``, int64 p+1 block offsets) plus the
+           aligned inverse out-degree vector ``iod`` (1/W(u), 0 for
+           dangling). Written to apply-{q}/ atomically. This is what
+           lets the stream path's fused superstep apply 20M+ incoming
+           partials with ONE bincount and zero per-superstep searches.
 
         The ids .npy intermediates are removed after the marker write."""
         import glob as _glob
@@ -437,7 +466,7 @@ class CsrGraph:
                     stored = f.read().strip()
             except OSError:
                 stored = ""
-            if stored == f"v4:{self.num_edges}:{self.p}:{self.edge_fp:x}":
+            if stored == f"v5:{self.num_edges}:{self.p}:{self.edge_fp:x}":
                 return
             import shutil
 
@@ -466,30 +495,40 @@ class CsrGraph:
         assert sum(r["n"] for r in vcount) == self.num_vertices
 
         weighted = self.weighted
+        p = self.p
 
         def build(batches):
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            srcs, dsts, ws = [], [], []
+            srcs, dsts, bkts, ws = [], [], [], []
             for pdf in batches:
                 srcs.append(pdf[SRC].to_numpy(dtype=np.int64))
                 dsts.append(pdf[DST].to_numpy(dtype=np.int64))
+                bkts.append(pdf["dbkt"].to_numpy(dtype=np.int64))
                 if weighted:
                     ws.append(pdf["w"].to_numpy(dtype=np.float64))
             n = 0
             if srcs:
                 src = np.concatenate(srcs)
                 dst = np.concatenate(dsts)
+                bkt = np.concatenate(bkts)
                 n = len(src)
             if n:
-                # Stable dst sort: per-dst edge order is preserved, so the
-                # kernel's bincount over the monotone inverse reproduces
-                # the v2 float sums BIT-exactly while the accumulation
-                # becomes streaming writes instead of random scatter.
-                o = np.argsort(dst, kind="stable")
-                src, dst = src[o], dst[o]
-                du, di = np.unique(dst, return_inverse=True)
+                # Stable (bucket, dst) sort: per-dst edge order is
+                # preserved, so per-dst reduceat sums are BIT-identical to
+                # the v2 bincount, accumulation is streaming, and each
+                # TARGET partition's output slice is contiguous (the
+                # slipstore update-stream layout).
+                o = np.lexsort((dst, bkt))
+                src, dst, bkt = src[o], dst[o], bkt[o]
+                seg = np.empty(n, dtype=bool)
+                seg[0] = True
+                np.not_equal(dst[1:], dst[:-1], out=seg[1:])
+                starts = np.flatnonzero(seg)
+                du = dst[seg]
+                di = np.cumsum(seg) - 1
+                boff = np.searchsorted(bkt[seg], np.arange(p + 1))
                 ids = np.load(_os.path.join(bd, f"ids-{pid}.npy"))
                 idx = np.searchsorted(ids, src)
                 pos = np.clip(idx, 0, max(len(ids) - 1, 0))
@@ -502,9 +541,11 @@ class CsrGraph:
                     "ids": ids,
                     "pos": pos.astype(np.int32),  # |ids| < 2^31 always
                     "du": du,
-                    # int64 on disk: np.bincount/minimum.at need intp and
+                    # int64 on disk: np.bincount/reduceat need intp and
                     # the kernels read it straight off the mmap
                     "di": di.astype(np.int64, copy=False),
+                    "starts": starts.astype(np.int64, copy=False),
+                    "boff": boff.astype(np.int64, copy=False),
                 }
                 if weighted:
                     arrays["w"] = np.concatenate(ws)[o]
@@ -523,15 +564,83 @@ class CsrGraph:
             yield pd.DataFrame({"part": [pid], "n": [n]})
 
         built = (
-            e.repartition(self.p, F.col(SRC))
+            # dbkt via Spark's own Murmur3 hash(): EXACTLY the routing
+            # repartition(p, id) gives the vertex state — the update
+            # stream's target-partition ids come from the partitioner
+            # itself, never a reimplementation of it.
+            e.withColumn("dbkt", F.pmod(F.hash(F.col(DST)), F.lit(self.p)))
+            .repartition(self.p, F.col(SRC))
             .mapInPandas(build, schema="part int, n long")
             .collect()  # p rows — bounded by partition count, not |E|
         )
         assert sum(r["n"] for r in built) == self.num_edges
+
+        def build_apply(batches):
+            from pyspark import TaskContext
+
+            q = TaskContext.get().partitionId()
+            pdfs = [pdf for pdf in batches]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+            ids = pdf[ID].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids_sorted = ids[order]
+            od = pdf["out_degree"].to_numpy(dtype=np.float64)[order]
+            iod = np.where(od > 0, 1.0 / np.where(od > 0, od, 1.0), 0.0)
+            apos_parts = []
+            aoff = np.zeros(p + 1, dtype=np.int64)
+            for b in range(p):
+                d = _os.path.join(bd, f"part-{b}")
+                ap = None
+                if _os.path.isdir(d):
+                    bdu = np.load(_os.path.join(d, "du.npy"), mmap_mode="r")
+                    bo = np.load(_os.path.join(d, "boff.npy"), mmap_mode="r")
+                    sl = np.asarray(bdu[bo[q]:bo[q + 1]])
+                    if len(sl):
+                        ap = np.searchsorted(ids_sorted, sl)
+                        ap = np.clip(ap, 0, max(len(ids_sorted) - 1, 0))
+                        if not np.array_equal(ids_sorted[ap], sl):
+                            raise RuntimeError(
+                                f"CSR apply build: block {b} routes dst ids to "
+                                f"partition {q} that are not in its vertex "
+                                "partition — partitioner mismatch"
+                            )
+                        apos_parts.append(ap.astype(np.int32))
+                aoff[b + 1] = aoff[b] + (0 if ap is None else len(ap))
+            apos = (np.concatenate(apos_parts) if apos_parts
+                    else np.empty(0, np.int32))
+            arrays = {"apos": apos, "aoff": aoff, "iod": iod,
+                      "ids": ids_sorted}
+            tmp = _os.path.join(bd, f".apply-{q}.{_os.getpid()}.tmp")
+            _os.makedirs(tmp, exist_ok=True)
+            for name, arr in arrays.items():
+                with open(_os.path.join(tmp, f"{name}.npy"), "wb") as f:
+                    np.save(f, arr)
+            final = _os.path.join(bd, f"apply-{q}")
+            try:
+                _os.rename(tmp, final)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            yield pd.DataFrame({"part": [q], "n": [len(ids)]})
+
+        applied = (
+            self.verts.join(self.out_deg, ID, "left")
+            .select(
+                F.col(ID),
+                F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
+            )
+            .repartition(self.p, F.col(ID))
+            .mapInPandas(build_apply, schema="part int, n long")
+            .collect()  # p rows
+        )
+        assert sum(r["n"] for r in applied) == self.num_vertices
         with open(marker, "w") as f:
-            f.write(f"v4:{self.num_edges}:{self.p}:{self.edge_fp:x}")
-        for p in _glob.glob(_os.path.join(bd, "ids-*.npy")):
-            _os.remove(p)
+            f.write(f"v5:{self.num_edges}:{self.p}:{self.edge_fp:x}")
+        for pth in _glob.glob(_os.path.join(bd, "ids-*.npy")):
+            _os.remove(pth)
 
     def part_col(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.p)).cast("int")
@@ -668,11 +777,11 @@ def _pagerank_csr_disk(
         m_edge = m[order][blk["pos"]]
         if "w" in blk:  # type-2 block: message = rank(u)/W(u) * w(e)
             m_edge = m_edge * blk["w"]
-        # dst_inverse is monotone (v3 blocks are dst-sorted): the scatter
-        # target advances sequentially — streaming writes, 2.2x the
-        # random-order bincount on the bench block shape.
-        partial = np.bincount(blk["dst_inverse"], weights=m_edge,
-                              minlength=len(blk["dst_unique"]))
+        # v5: per-dst sums via reduceat over the build-time segment
+        # starts — identical left-to-right accumulation order to the v4
+        # bincount (bit-exact), but the kernel no longer streams the
+        # 8-byte-per-edge dst_inverse from the block every superstep.
+        partial = np.add.reduceat(m_edge, blk["starts"])
         yield pd.DataFrame({DST: blk["dst_unique"], "partial": partial})
 
     def step(cur: DataFrame, superstep: int):
@@ -870,9 +979,9 @@ def _cc_csr_disk(
         labels = pdf["label"].to_numpy(dtype=np.int64)
         _check_aligned(blk, ids[order])
         lab_edge = labels[order][blk["pos"]]
-        out = np.full(len(blk["dst_unique"]), np.iinfo(np.int64).max, dtype=np.int64)
-        # monotone dst_inverse (v3): sequential scatter, 2.7x random-order
-        np.minimum.at(out, blk["dst_inverse"], lab_edge)
+        # v5: per-dst min via reduceat over the build-time segment starts
+        # (min is order-free; skips the per-edge dst_inverse stream)
+        out = np.minimum.reduceat(lab_edge, blk["starts"])
         yield pd.DataFrame({DST: blk["dst_unique"], "ml": out})
 
     def step(cur: DataFrame, superstep: int):
