@@ -285,10 +285,41 @@ def _pagerank_throughput(
         # The per-PROCESS transient (JIT of generated code, Arrow paths,
         # python worker pool, block caches) lasts ~10 supersteps: measured
         # 20s -> 4-7s steady on the 64M graph even with warm disk blocks.
-        warmup_steps = 10 if algo_path == "csr" else 2
+        warmup_steps = 10 if algo_path in ("csr", "stream") else 2
     spark = _session(cpus, shuffle=shuffle)
     edges = spark.read.parquet(path)
     n_edges = edges.count()
+    if algo_path == "stream":
+        from chaos_spark.csr import CsrGraph
+        from chaos_spark.stream import pagerank_stream
+
+        # Same reuse rules as the csr branch: one block layout per leg
+        # (static preprocessed input), checkpoint reset excluded from the
+        # timed window (periodic maintenance, amortized 1/k in prod).
+        g = CsrGraph(spark, edges, num_partitions=shuffle,
+                     token=f"bench-{path}-{shuffle}")
+        no_ckpt = supersteps + warmup_steps + 1
+        sp = int(os.environ.get("CHAOS_STREAM_STATE_PARTS", "0")) or None
+        chain = int(os.environ.get("CHAOS_STREAM_CHAIN", "1"))
+        pagerank_stream(spark, edges, tol=0.0, max_iters=warmup_steps,
+                        checkpoint_every=no_ckpt, graph=g,
+                        state_partitions=sp, chain=chain)
+        t0 = time.time()
+        res = pagerank_stream(spark, edges, tol=0.0, max_iters=supersteps,
+                              checkpoint_every=no_ckpt, graph=g,
+                              state_partitions=sp, chain=chain)
+        wall = time.time() - t0
+        assert res.supersteps == supersteps
+        return {
+            "cpus": cpus,
+            "edges": n_edges,
+            "supersteps": supersteps,
+            "wall_sec": round(wall, 2),
+            "supersteps_per_sec": round(supersteps / wall, 4),
+            "edges_per_sec": round(n_edges * supersteps / wall, 1),
+            "per_superstep_sec": [h["seconds"] for h in res.history],
+            "per_superstep_steal": [h.get("steal_frac") for h in res.history],
+        }
     if algo_path == "csr":
         from chaos_spark.csr import CsrGraph, _pagerank_csr_disk
         from chaos_spark.engine import superstep_conf
@@ -626,7 +657,8 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
     ap.add_argument("--path", dest="algo_path",
-                    choices=["join", "shuffle", "broadcast", "csr"], default="csr")
+                    choices=["join", "shuffle", "broadcast", "csr", "stream"],
+                    default="stream")
     ap.add_argument("--shuffle", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cooldown", type=int, default=90)

@@ -120,6 +120,9 @@ def _cache_put(key, blk: dict[str, np.ndarray]) -> None:
 
 
 def _edge_block(token: str, part: int, pdf_edges: pd.DataFrame) -> dict[str, np.ndarray]:
+    from .shipping import worker_fastpath
+
+    worker_fastpath()  # kill the per-task zip-directory re-read tax
     key = (token, part)
     blk = _BLOCK_CACHE.get(key)
     if blk is not None and len(blk["src"]) == len(pdf_edges):
@@ -227,6 +230,9 @@ def _load_disk_block(token: str, pid: int, block_dir: str):
     kernel's reads fault straight onto the shared pages. The worker
     cache therefore only accounts the tiny mmap overhead, not the
     mapped bytes (see _cache_put)."""
+    from .shipping import worker_fastpath
+
+    worker_fastpath()  # kill the per-task zip-directory re-read tax
     key = (token, pid)
     blk = _BLOCK_CACHE.get(key)
     if blk is not None:
@@ -242,6 +248,32 @@ def _load_disk_block(token: str, pid: int, block_dir: str):
         blk[_BLOCK_KEYS.get(name, name)] = np.load(p, mmap_mode="r")
     _cache_put(key, blk)
     return blk
+
+
+_APPLY_MEMBERS = ("apos", "aoff", "soff", "iod", "ids")
+
+
+def _load_apply_plan(token: str, q: int, block_dir: str):
+    """Worker-side fetch of vertex partition q's slipstore APPLY PLAN
+    (build pass 3): mmap'd {apos, aoff, soff, iod, ids}. Same shared
+    page-cache story as _load_disk_block; cached under a namespaced key
+    so block and plan entries never collide."""
+    from .shipping import worker_fastpath
+
+    worker_fastpath()  # kill the per-task zip-directory re-read tax
+    key = (f"{token}#apply", q)
+    plan = _BLOCK_CACHE.get(key)
+    if plan is not None:
+        return plan
+    d = _os.path.join(block_dir, f"apply-{q}")
+    if not _os.path.isdir(d):
+        return None
+    plan = {
+        name: np.load(_os.path.join(d, f"{name}.npy"), mmap_mode="r")
+        for name in _APPLY_MEMBERS
+    }
+    _cache_put(key, plan)
+    return plan
 
 
 # -- packed blocks: X-Stream's fixed-size packed records, one blob per
@@ -590,6 +622,7 @@ class CsrGraph:
             iod = np.where(od > 0, 1.0 / np.where(od > 0, od, 1.0), 0.0)
             apos_parts = []
             aoff = np.zeros(p + 1, dtype=np.int64)
+            soff = np.full(p, -1, dtype=np.int64)
             for b in range(p):
                 d = _os.path.join(bd, f"part-{b}")
                 ap = None
@@ -607,10 +640,11 @@ class CsrGraph:
                                 "partition — partitioner mismatch"
                             )
                         apos_parts.append(ap.astype(np.int32))
+                        soff[b] = int(bo[q])
                 aoff[b + 1] = aoff[b] + (0 if ap is None else len(ap))
             apos = (np.concatenate(apos_parts) if apos_parts
                     else np.empty(0, np.int32))
-            arrays = {"apos": apos, "aoff": aoff, "iod": iod,
+            arrays = {"apos": apos, "aoff": aoff, "soff": soff, "iod": iod,
                       "ids": ids_sorted}
             tmp = _os.path.join(bd, f".apply-{q}.{_os.getpid()}.tmp")
             _os.makedirs(tmp, exist_ok=True)

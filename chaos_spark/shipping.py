@@ -51,3 +51,47 @@ def ensure_shipped(spark: SparkSession) -> None:
     if path is not None:
         sc.addPyFile(path)
     _SHIPPED.add(key)
+
+
+_WORKER_FASTPATH_DONE: bool | None = None  # None = env not read yet
+
+
+def worker_fastpath() -> None:
+    """One-time, per-Python-worker: stop ``importlib.invalidate_caches()``
+    from re-reading every sys.path zip's central directory ON EVERY TASK.
+
+    pyspark's per-task preamble (``worker_util.setup_spark_files``) calls
+    ``importlib.invalidate_caches()`` unconditionally, and under Python
+    3.11 ``zipimporter.invalidate_caches`` EAGERLY re-reads the archive
+    directory. With pyspark.zip + py4j-src.zip (+ the shipped
+    chaos_spark.zip) on the worker's sys.path, that is ~130 ms of pure
+    CPU per task — measured as ~85% of the wall of a 64-task no-op
+    mapInPandas stage on this host (sampled worker stacks:
+    ``worker_util.py:setup_spark_files -> zipimport._read_directory``),
+    i.e. the single largest per-superstep cost of any blob/CSR kernel at
+    bench scale, and one that Spark pays per task forever.
+
+    The fix is surgical: override ``invalidate_caches`` on the
+    zipimporter INSTANCES that already exist in ``sys.path_importer_cache``
+    with a no-op bound attribute. Their cached directories stay valid
+    (the archives never change during a run — Spark ships ADDITIONAL
+    files under NEW paths, which get NEW importers that read fresh), and
+    non-zip finders keep their normal invalidation. Python-side only,
+    per-process, idempotent (re-scans so importers added later — e.g. a
+    mid-run addPyFile — get patched on the next kernel call); call it at
+    the top of every executor-side kernel. Disable with
+    CHAOS_WORKER_FASTPATH=0 to A/B the tax."""
+    global _WORKER_FASTPATH_DONE
+    if _WORKER_FASTPATH_DONE is None:
+        _WORKER_FASTPATH_DONE = os.environ.get("CHAOS_WORKER_FASTPATH", "1") == "1"
+    if not _WORKER_FASTPATH_DONE:
+        return
+    import sys
+    import zipimport
+
+    for finder in list(sys.path_importer_cache.values()):
+        if isinstance(finder, zipimport.zipimporter):
+            try:
+                finder.invalidate_caches = lambda: None  # type: ignore[method-assign]
+            except AttributeError:
+                pass  # C-implemented importer (other interpreters): leave it
