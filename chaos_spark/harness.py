@@ -330,6 +330,18 @@ def q_pagerank_csr_k5(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_stream_k5(spark, sf_dir):
+    """Same 5-superstep PageRank as pagerank_k5 but through the fused
+    slipstore STREAM path (blob state + file update streams,
+    chaos_spark.stream) — verified against the SAME unrolled-CTE oracle,
+    proving the fused superstep ≡ join path to the driver."""
+    from .stream import pagerank_stream
+
+    e = cust_supp_edges(spark, sf_dir)
+    res = pagerank_stream(spark, e, damping=D, tol=0.0, max_iters=5)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_cc_csr_k(spark, sf_dir):
     """CC to convergence via the CSR kernel; exact (min is order-free),
     same fixed point as the unrolled-k oracle for any k >= diameter —
@@ -1636,6 +1648,7 @@ QUERIES = {
     "in_degree": q_in_degree,
     "pagerank_k5": q_pagerank_k5,
     "pagerank_csr_k5": q_pagerank_csr_k5,
+    "pagerank_stream_k5": q_pagerank_stream_k5,
     "cc_k6": q_cc_k6,
     "cc_csr_k6": q_cc_csr_k,
     "lpa_k3": q_lpa_k3,
@@ -1692,6 +1705,7 @@ ORACLES = {
     ),
     "pagerank_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "pagerank_csr_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
+    "pagerank_stream_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "cc_k6": cc_sql(SQL_PART_EDGES, 6),
     "cc_csr_k6": cc_sql(SQL_PART_EDGES, 6),
     "lpa_k3": lpa_sql(SQL_PART_EDGES, 3),
