@@ -80,7 +80,19 @@ def worker_fastpath() -> None:
     per-process, idempotent (re-scans so importers added later — e.g. a
     mid-run addPyFile — get patched on the next kernel call); call it at
     the top of every executor-side kernel. Disable with
-    CHAOS_WORKER_FASTPATH=0 to A/B the tax."""
+    CHAOS_WORKER_FASTPATH=0 to A/B the tax.
+
+    SCOPE: the patch is per-PYTHON-WORKER-PROCESS but APP-GLOBAL within
+    that worker — PySpark reuses worker processes across workloads, so
+    every workload sharing the worker sees the guarded importers, not
+    just chaos_spark kernels (also stated in README "Worker fastpath").
+    The guard below keeps that safe: each patched importer remembers its
+    archive's (mtime_ns, size) from patch time and only no-ops while they
+    still match; if the archive is ever replaced in place (e.g. a
+    re-shipped file under the same SparkFiles path), the next
+    invalidate_caches call falls through to the real eager re-read and
+    re-arms on the fresh bytes — a stat() per zip per task (~µs) instead
+    of an unconditional central-directory re-read (~130 ms)."""
     global _WORKER_FASTPATH_DONE
     if _WORKER_FASTPATH_DONE is None:
         _WORKER_FASTPATH_DONE = os.environ.get("CHAOS_WORKER_FASTPATH", "1") == "1"
@@ -90,8 +102,32 @@ def worker_fastpath() -> None:
     import zipimport
 
     for finder in list(sys.path_importer_cache.values()):
-        if isinstance(finder, zipimport.zipimporter):
+        if not isinstance(finder, zipimport.zipimporter):
+            continue
+        if getattr(finder, "_chaos_fastpath_guard", False):
+            continue
+        archive = getattr(finder, "archive", None)
+        if not archive:
+            continue
+        try:
+            st = os.stat(archive)
+        except OSError:
+            continue  # archive gone — leave normal invalidation in place
+        sig = [st.st_mtime_ns, st.st_size]
+        real = zipimport.zipimporter.invalidate_caches.__get__(finder)
+
+        def _guarded(_archive=archive, _sig=sig, _real=real):
             try:
-                finder.invalidate_caches = lambda: None  # type: ignore[method-assign]
-            except AttributeError:
-                pass  # C-implemented importer (other interpreters): leave it
+                st = os.stat(_archive)
+            except OSError:
+                return _real()
+            cur = (st.st_mtime_ns, st.st_size)
+            if cur != tuple(_sig):
+                _sig[:] = cur  # re-arm on the fresh bytes
+                return _real()
+
+        try:
+            finder.invalidate_caches = _guarded  # type: ignore[method-assign]
+            finder._chaos_fastpath_guard = True  # type: ignore[attr-defined]
+        except AttributeError:
+            pass  # C-implemented importer (other interpreters): leave it

@@ -141,7 +141,17 @@ def _publish_arr(upd_dir: str, name: str, arr: np.ndarray) -> None:
     try:
         os.replace(tmp, os.path.join(upd_dir, f"{name}.npy"))
     except OSError:
-        os.unlink(tmp)
+        # On POSIX, replace over an existing file never fails for a lost
+        # retry/speculation race (it atomically overwrites the winner's
+        # identical bytes), so any OSError here is a genuine I/O failure
+        # (ENOSPC, EIO, cross-device tmp). An unpublished member would
+        # corrupt the dangling mass / convergence delta downstream —
+        # fail the task loudly instead.
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def _scatter_publish(
@@ -166,31 +176,35 @@ def _scatter_publish(
     _publish_arr(upd_dir, f"stats-{q}", np.array([dang, delta]))
 
 
-def _dangling_mass(upd_dir: str, p: int) -> float:
+def _dangling_mass(upd_dir: str, qs) -> float:
     """Fixed-order fold of the per-partition dangling masses riding the
-    update stream — every task computes the identical float."""
+    update stream — every task computes the identical float.
+
+    ``qs`` is the exact set of non-empty state partitions, recorded once
+    by the init/scatter job: every one of them published a stats file with
+    its update stream (edge-less blocks included), so a missing file is a
+    publish or barrier failure — np.load's FileNotFoundError is the loud
+    failure we want, never a silent zero contribution."""
     dm = _DM_CACHE.get(upd_dir)
     if dm is not None:
         return dm
     total = 0.0
-    for q in range(p):
-        f = os.path.join(upd_dir, f"stats-{q}.npy")
-        if os.path.exists(f):
-            total += float(np.load(f)[0])
+    for q in qs:
+        total += float(np.load(os.path.join(upd_dir, f"stats-{q}.npy"))[0])
     if len(_DM_CACHE) > 64:
         _DM_CACHE.clear()
     _DM_CACHE[upd_dir] = total
     return total
 
 
-def _read_delta(upd_dir: str, p: int) -> float:
+def _read_delta(upd_dir: str, qs) -> float:
     """Driver-side convergence read: max of the per-partition deltas
-    published with the update stream (file reads, no CollectMetrics)."""
+    published with the update stream (file reads, no CollectMetrics).
+    Strict over the recorded non-empty partition set ``qs`` — a missing
+    stats file raises instead of understating the convergence delta."""
     mx = 0.0
-    for q in range(p):
-        f = os.path.join(upd_dir, f"stats-{q}.npy")
-        if os.path.exists(f):
-            mx = max(mx, float(np.load(f)[1]))
+    for q in qs:
+        mx = max(mx, float(np.load(os.path.join(upd_dir, f"stats-{q}.npy"))[1]))
     return mx
 
 
@@ -302,9 +316,10 @@ def pagerank_stream(
 
         return scatter_only
 
-    def fused_kernel_for(superstep: int):
+    def fused_kernel_for(superstep: int, qs: tuple):
         """Apply step ``superstep`` (reads upd of superstep-1), then
-        scatter for step superstep+1 (writes upd of superstep)."""
+        scatter for step superstep+1 (writes upd of superstep). ``qs`` is
+        the recorded non-empty state-partition set (strict stats fold)."""
         ud_in = _upd_dir(block_dir, run_id, superstep - 1)
         ud_out = _upd_dir(block_dir, run_id, superstep)
 
@@ -321,7 +336,7 @@ def pagerank_stream(
                         raise RuntimeError(
                             f"stream apply: blob/plan mismatch at partition {q}"
                         )
-                    dm = _dangling_mass(ud_in, p)
+                    dm = _dangling_mass(ud_in, qs)
                     contrib = _gather(plan, ud_in, p)
                     iod = np.asarray(plan["iod"])
                     rank = (1.0 - damping) / n + damping * (contrib + dm / n)
@@ -371,20 +386,26 @@ def pagerank_stream(
             scatter_kernel_for(start), schema=f"{PART} int, n long"
         ).collect()
         assert sum(r["n"] for r in rows) == n
+        # The exact set of non-empty state partitions, recorded once: the
+        # strict stats fold (_dangling_mass/_read_delta) checks precisely
+        # these files each superstep, so a publish/barrier failure raises
+        # instead of folding a silently-wrong dangling mass or delta.
+        qs = tuple(sorted(int(r[PART]) for r in rows))
 
         try:
+            fk = lambda s: fused_kernel_for(s, qs)  # noqa: E731
             read_delta = lambda s: _read_delta(  # noqa: E731
-                _upd_dir(block_dir, run_id, s), p
+                _upd_dir(block_dir, run_id, s), qs
             )
             if chain == 1:
                 result = _run_unchained(
-                    state, fused_kernel_for, max_iters, checkpointer,
+                    state, fk, max_iters, checkpointer,
                     checkpoint_every, start, realign, tol, read_delta,
                     lambda s: _upd_cleanup(block_dir, run_id, s),
                 )
             else:
                 result = _run_chained(
-                    state, fused_kernel_for, max_iters, checkpointer,
+                    state, fk, max_iters, checkpointer,
                     checkpoint_every, start, tol, chain, sp, read_delta,
                     lambda lo, hi: _upd_cleanup_range(block_dir, run_id, lo, hi),
                 )
