@@ -97,6 +97,60 @@ def test_pagerank_stream_chained_equals_unchained(spark):
     assert np.allclose(da[1:], db[1:], rtol=1e-9, atol=1e-15)
 
 
+def test_pagerank_stream_chained_with_tol_overshoot_bounded(spark):
+    # ADVICE r4: chain>1 + tol>0 was untested. Contract (module docstring):
+    # the chained run stops at the first JOB whose layers converged, so it
+    # may run up to chain-1 supersteps PAST the unchained convergence
+    # point — never fewer, never more than that, and the returned state is
+    # at least as converged (its last observed delta is also under tol).
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    tol = 1e-6
+    a = pagerank_stream(spark, edges, tol=tol, max_iters=60, chain=1)
+    b = pagerank_stream(spark, edges, tol=tol, max_iters=60, chain=3)
+    assert a.converged and b.converged
+    assert a.supersteps <= b.supersteps <= a.supersteps + 2
+    assert b.history[-1]["delta"] < tol
+    # Both are within tol of the fixed point; successive iterates differ
+    # by < tol, so the K-1 overshoot bounds the disagreement by ~2*tol.
+    ra, rb = _ranks(a), _ranks(b)
+    assert set(ra) == set(rb)
+    ks = sorted(ra)
+    assert np.allclose([ra[k] for k in ks], [rb[k] for k in ks],
+                       rtol=0, atol=3 * tol)
+
+
+def test_pagerank_stream_chained_resume_equals_uninterrupted(spark, tmp_path):
+    # ADVICE r4: resume of a CHAINED run was untested. Fixed-iters (tol=0)
+    # so the contract is exact: checkpoint at superstep 4, resume with the
+    # same chain, identical final blobs vs the uninterrupted chained run.
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    config = {"algo": "pagerank_stream", "chain": 2, "graph": "g4s9"}
+
+    full = pagerank_stream(spark, edges, tol=0.0, max_iters=8, chain=2)
+
+    cp1 = CheckpointManager(str(tmp_path / "cp"), "pagerank_stream", config)
+    part = pagerank_stream(
+        spark, edges, tol=0.0, max_iters=4, chain=2,
+        checkpointer=cp1, checkpoint_every=4,
+    )
+    assert part.supersteps == 4
+    assert cp1.latest() is not None and cp1.latest()["superstep"] == 4
+
+    cp2 = CheckpointManager(str(tmp_path / "cp"), "pagerank_stream", config)
+    res = pagerank_stream(
+        spark, edges, tol=0.0, max_iters=8, chain=2,
+        checkpointer=cp2, checkpoint_every=4,
+    )
+    a, b = _ranks(full), _ranks(res)
+    assert set(a) == set(b)
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks],
+                       rtol=0, atol=1e-15)
+    assert res.supersteps == full.supersteps == 8
+
+
 def test_pagerank_stream_state_partitions_invariance(spark):
     # Physical blob placement must never affect results: kernels route by
     # the row's part value, not the task index.
