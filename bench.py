@@ -104,10 +104,49 @@ def _session(cpus: int, shuffle: int | None = None) -> SparkSession:
 # Default mode — headline queries at the sf dir
 # ---------------------------------------------------------------------------
 
+def _host_busy_check() -> dict:
+    """Measurement-hygiene guard (r4: BENCH_r04 was recorded while a 512M
+    scaling campaign saturated the same host — 133 s vs the 52.6 s the code
+    supports, and no way to tell from the JSON). Record /proc/loadavg and
+    any concurrent Spark/JVM processes at start so every bench record
+    carries its own contamination evidence; loudly annotate (never
+    silently) when the host is already busy."""
+    info: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        info["loadavg"] = [float(parts[0]), float(parts[1]), float(parts[2])]
+    except OSError:
+        info["loadavg"] = None
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["pgrep", "-c", "java"], capture_output=True, text=True
+        )
+        info["concurrent_jvms"] = int(out.stdout.strip() or 0)
+    except (OSError, ValueError):
+        info["concurrent_jvms"] = None
+    busy = bool(
+        (info.get("concurrent_jvms") or 0) > 0
+        or (info["loadavg"] and info["loadavg"][0] > 4.0)
+    )
+    info["host_busy_at_start"] = busy
+    if busy:
+        print(
+            f"WARNING: host busy at bench start ({info}) — timings will be "
+            "contaminated; rerun on an idle host for a comparable record.",
+            file=sys.stderr,
+        )
+    return info
+
+
 def run_default(sf_dir: str, cpus: int) -> dict:
+    host = _host_busy_check()
     spark = _session(cpus)
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    extras["host"] = host
 
     def timed(name, fn):
         t0 = time.time()
@@ -176,6 +215,22 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     lpa_forced = lpa_csr(spark, e_part, max_iters=10, mode="csr")
     extras["lpa_csr_forced_sec"] = round(time.time() - t0, 3)
     extras["lpa_csr_forced_iter_sec"] = round(lpa_forced.total_seconds, 3)
+    # Fused stream path, forced, same jobs — kept in extras (like the
+    # forced-CSR legs) so the per-round record shows where each path wins
+    # at this scale: at sf0.1 (~60k edges) the fixed per-superstep cost
+    # dominates and join serves the headline; at the 64M-edge graph the
+    # stream kernels win 5.8-8.4x (BENCH/SCALING_ANALYSIS.md,
+    # scripts/label_stream_ab.py).
+    from chaos_spark.stream_algos import cc_stream, lpa_stream
+
+    t0 = time.time()
+    cc_str = cc_stream(spark, e_part, max_iters=100)
+    extras["cc_stream_forced_sec"] = round(time.time() - t0, 3)
+    extras["cc_stream_forced_iter_sec"] = round(cc_str.total_seconds, 3)
+    t0 = time.time()
+    lpa_str = lpa_stream(spark, e_part, max_iters=10)
+    extras["lpa_stream_forced_sec"] = round(time.time() - t0, 3)
+    extras["lpa_stream_forced_iter_sec"] = round(lpa_str.total_seconds, 3)
     timed("triangles", lambda: triangle_count(spark, e_part))
     timed("degree", lambda: harness.q_out_degree(spark, sf_dir).count())
     timed("spmv", lambda: harness.q_spmv_acctbal(spark, sf_dir).count())
@@ -486,8 +541,13 @@ def _agg_runs(runs: list[dict]) -> dict:
 def run_scaling(
     scale: int, num_edges: int, supersteps: int, lo: int, hi: int,
     algo_path: str = "join", shuffle: int | None = None, write_md: bool = True,
-    repeats: int = 3, cooldown: int = 90,
+    repeats: int = 3, cooldown: int = 90, companion: bool = False,
 ) -> dict:
+    """One two-parallelism scaling campaign. ``companion=True`` records a
+    non-headline pair (e.g. the (4,16) saturated pair the r4 verdict asked
+    to keep in every future series for comparability) to its own
+    ``BENCH/scaling_companion_{lo}_{hi}.json`` WITHOUT overwriting the
+    declared-protocol headline in ``scaling_latest.json``/SCALING_RUN.md."""
     path = _ensure_bench_graph(scale, num_edges)
     SparkSession.getActiveSession() and SparkSession.getActiveSession().stop()
     # Pinned identical for BOTH legs (BASELINE.md §3). hi*4: at hi cores a
@@ -537,21 +597,25 @@ def run_scaling(
         "scaling_efficiency_floor": round(floor_eff, 4),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "companion": companion,
     }
-    if write_md:
+    if write_md and not companion:
         _write_baseline_md(out, lo, hi)
-    _persist_scaling_json(out)
+    _persist_scaling_json(out, companion=companion)
     return out
 
 
-def _persist_scaling_json(out: dict) -> None:
+def _persist_scaling_json(out: dict, companion: bool = False) -> None:
     """Keep the latest scaling campaign's full result next to BASELINE.md
     so the default bench (what the round driver records as BENCH_r{N})
     can surface the measured N-vs-4N efficiency inline instead of only in
     a separate markdown artifact."""
-    p = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_latest.json"
+    name = (
+        f"scaling_companion_{out['lo']}_{out['hi']}.json"
+        if companion
+        else "scaling_latest.json"
     )
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", name)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     with open(p, "w") as f:
         json.dump(out, f, indent=1)
@@ -592,7 +656,34 @@ def _scaling_summary_for_extras() -> dict | None:
         "scaling_efficiency": out["scaling_efficiency"],
         "target": out["target"],
         "pass": out["pass"],
+        "companions": _scaling_companions(),
     }
+
+
+def _scaling_companions() -> list[dict]:
+    """Condensed view of every recorded companion pair (r4 verdict: keep
+    the (4,16) saturated pair in the series so efficiency numbers stay
+    comparable across campaigns even after the declared pair changed)."""
+    import glob as _glob
+
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    rows = []
+    for p in sorted(_glob.glob(os.path.join(bench_dir, "scaling_companion_*.json"))):
+        try:
+            with open(p) as f:
+                c = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rows.append(
+            {
+                "pair": f"local[{c['lo']}]/local[{c['hi']}]",
+                "algo_path": c.get("algo_path"),
+                "edges": c.get("graph", {}).get("edges"),
+                "scaling_efficiency": c.get("scaling_efficiency"),
+                "scaling_efficiency_floor": c.get("scaling_efficiency_floor"),
+            }
+        )
+    return rows
 
 
 def _write_baseline_md(out: dict, lo: int, hi: int) -> None:
@@ -683,6 +774,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     ap.add_argument("--compare-paths", action="store_true")
+    ap.add_argument(
+        "--companion", action="store_true",
+        help="record this scaling pair as a companion (own JSON; never "
+        "overwrites the declared-protocol headline record)",
+    )
     args = ap.parse_args()
     if args.compare_paths:
         out = run_compare_paths(args.sf_dir, args.cpus, write_md=not args.no_md)
@@ -691,7 +787,7 @@ def main() -> None:
             args.scale, args.edges, args.supersteps, args.lo, args.hi,
             algo_path=args.algo_path, shuffle=args.shuffle,
             write_md=not args.no_md, repeats=args.repeats,
-            cooldown=args.cooldown,
+            cooldown=args.cooldown, companion=args.companion,
         )
     else:
         out = run_default(args.sf_dir, args.cpus)

@@ -48,6 +48,7 @@ def rmat_edges_spark(
     seed: int = 42,
     probs: tuple[float, float, float, float] = DEFAULT_PROBS,
     num_partitions: int | None = None,
+    keep_id: bool = False,
 ) -> DataFrame:
     """Distributed deterministic RMAT: ``(src, dst)`` over 2**scale vertices.
 
@@ -55,6 +56,9 @@ def rmat_edges_spark(
     uniform in [0,1) derived from ``xxhash64(i, b, seed)`` against the
     cumulative quadrant probabilities — pure Spark SQL expressions, whole
     stage codegen, no Python, no shuffle.
+
+    ``keep_id`` also emits the generating edge id — the join key the value
+    oracle (genoracle.rmat_sql) verifies per-edge output against.
     """
     a, b_, c, _ = probs
     c1, c2, c3 = a, a + b_, a + b_ + c
@@ -73,7 +77,10 @@ def rmat_edges_spark(
         )
         src = src + (F.shiftright(quad, 1).cast("long") * F.lit(1 << bit)).cast("long")
         dst = dst + ((quad % 2).cast("long") * F.lit(1 << bit)).cast("long")
-    return df.select(src.alias("src"), dst.alias("dst"))
+    cols = [src.alias("src"), dst.alias("dst")]
+    if keep_id:
+        cols.insert(0, F.col("id"))
+    return df.select(*cols)
 
 
 def erdos_renyi_edges_spark(
@@ -82,11 +89,17 @@ def erdos_renyi_edges_spark(
     num_edges: int,
     seed: int = 42,
     num_partitions: int | None = None,
+    keep_id: bool = False,
 ) -> DataFrame:
     """Uniform random ``(src, dst)`` — [REPO] `utils/` ER generator analogue;
-    deterministic via xxhash64, distributed via spark.range."""
+    deterministic via xxhash64, distributed via spark.range. ``keep_id``
+    also emits the generating edge id (for the genoracle.er_sql value
+    oracle)."""
     df = spark.range(0, num_edges, 1, num_partitions or spark.sparkContext.defaultParallelism)
-    return df.select(
+    cols = [
         F.pmod(F.xxhash64(F.col("id"), F.lit("s"), F.lit(seed)), F.lit(num_vertices)).alias("src"),
         F.pmod(F.xxhash64(F.col("id"), F.lit("d"), F.lit(seed)), F.lit(num_vertices)).alias("dst"),
-    )
+    ]
+    if keep_id:
+        cols.insert(0, F.col("id"))
+    return df.select(*cols)

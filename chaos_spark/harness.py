@@ -445,6 +445,75 @@ def q_lpa_csr_k3(spark, sf_dir):
     return res.state.select("id", "label")
 
 
+def q_cc_stream_k6(spark, sf_dir):
+    """Same CC as cc_k6 but through the fused slipstore STREAM path
+    (int64 label blobs + per-dst min update streams, stream_algos) —
+    verified against the SAME unrolled-k oracle, proving the fused
+    superstep ≡ join path to the driver (min-fold is order-free: exact)."""
+    from .stream_algos import cc_stream
+
+    e = part_edges(spark, sf_dir)
+    res = cc_stream(spark, e, max_iters=6)
+    return res.state.select("id", "label")
+
+
+def q_lpa_stream_k3(spark, sf_dir):
+    """Same 3-superstep LPA as lpa_k3 but through the fused stream path
+    (variable-length per-(dst,label) count streams with per-bucket entry
+    offsets) — verified against the SAME unrolled oracle (integer counts
+    + deterministic min-tie: exact)."""
+    from .stream_algos import lpa_stream
+
+    e = part_edges(spark, sf_dir)
+    res = lpa_stream(spark, e, max_iters=3)
+    return res.state.select("id", "label")
+
+
+def q_pagerank_w_stream_k5(spark, sf_dir):
+    """Weighted PageRank through the fused stream path (type-2 v5 blocks
+    carry the float64 ``w`` array; scatter publishes rank/W * w partials)
+    — verified against the SAME weighted unrolled oracle as
+    pagerank_w_k5/pagerank_w_csr_k5, proving the weighted fused superstep
+    ≡ both join regimes and the classic CSR kernel."""
+    from .stream import pagerank_stream
+
+    e = cust_supp_edges(spark, sf_dir).withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double"),
+    )
+    res = pagerank_stream(
+        spark, e, damping=D, tol=0.0, max_iters=5, weight_col="weight"
+    )
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+# Generator value-oracle parameters (SURVEY §2.3): small enough that the
+# DuckDB image (one materialized CTE per RMAT bit, ~15 nested projection
+# layers per xxhash64 stage) plans and runs in well under a second, large
+# enough that a hash or quadrant mistake cannot hide.
+_RMAT_Q = {"scale": 8, "num_edges": 2000, "seed": 42}
+_ER_Q = {"num_vertices": 500, "num_edges": 2000, "seed": 42}
+
+
+def q_rmat_edges(spark, sf_dir):
+    """The distributed seeded RMAT generator's exact output (id, src, dst)
+    — value-verified against genoracle.rmat_sql, the bit-exact DuckDB
+    image of Spark's xxhash64 quadrant draw (HUGEINT 32-bit-limb wrapping
+    math). Closes the last §2.3 component without a driver value oracle."""
+    from .generators import rmat_edges_spark
+
+    return rmat_edges_spark(spark, keep_id=True, **_RMAT_Q)
+
+
+def q_er_edges(spark, sf_dir):
+    """The distributed seeded Erdős–Rényi generator's exact output
+    (id, src, dst) — value-verified against genoracle.er_sql (same
+    xxhash64 limb-math image; 1-byte-string + int hash chain)."""
+    from .generators import erdos_renyi_edges_spark
+
+    return erdos_renyi_edges_spark(spark, keep_id=True, **_ER_Q)
+
+
 def q_kcore3(spark, sf_dir):
     e = part_edges(spark, sf_dir)
     res = k_core(spark, e, k=3, max_iters=3)
@@ -1643,6 +1712,18 @@ def hyperanf_sql(edges_sql: str, k: int, seed: int = 42) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+def _rmat_oracle_sql() -> str:
+    from .genoracle import rmat_sql
+
+    return rmat_sql(**_RMAT_Q)
+
+
+def _er_oracle_sql() -> str:
+    from .genoracle import er_sql
+
+    return er_sql(**_ER_Q)
+
+
 QUERIES = {
     "out_degree": q_out_degree,
     "in_degree": q_in_degree,
@@ -1651,11 +1732,16 @@ QUERIES = {
     "pagerank_stream_k5": q_pagerank_stream_k5,
     "cc_k6": q_cc_k6,
     "cc_csr_k6": q_cc_csr_k,
+    "cc_stream_k6": q_cc_stream_k6,
     "lpa_k3": q_lpa_k3,
     "lpa_csr_k3": q_lpa_csr_k3,
+    "lpa_stream_k3": q_lpa_stream_k3,
     "sssp_k5": q_sssp_k5,
     "pagerank_w_k5": q_pagerank_w_k5,
     "pagerank_w_csr_k5": q_pagerank_w_csr_k5,
+    "pagerank_w_stream_k5": q_pagerank_w_stream_k5,
+    "rmat_edges": q_rmat_edges,
+    "er_edges": q_er_edges,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
     "bfs_k4": q_bfs_k4,
@@ -1708,11 +1794,14 @@ ORACLES = {
     "pagerank_stream_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "cc_k6": cc_sql(SQL_PART_EDGES, 6),
     "cc_csr_k6": cc_sql(SQL_PART_EDGES, 6),
+    "cc_stream_k6": cc_sql(SQL_PART_EDGES, 6),
     "lpa_k3": lpa_sql(SQL_PART_EDGES, 3),
     "lpa_csr_k3": lpa_sql(SQL_PART_EDGES, 3),
+    "lpa_stream_k3": lpa_sql(SQL_PART_EDGES, 3),
     "sssp_k5": sssp_sql(SQL_WEIGHTED_EDGES, 5),
     "pagerank_w_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
     "pagerank_w_csr_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
+    "pagerank_w_stream_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
     "triangle_count": triangle_count_sql(SQL_PART_EDGES),
     "triangles_per_vertex": triangles_per_vertex_sql(SQL_PART_EDGES),
     "bfs_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),
@@ -1742,6 +1831,8 @@ ORACLES = {
     "ann_lsh": _ann_lsh_sql(),
     "media_meta": SQL_MEDIA_META,
     "dedup_lsh_cc": dedup_lsh_cc_sql(),
+    "rmat_edges": _rmat_oracle_sql(),
+    "er_edges": _er_oracle_sql(),
     # rows-only (no SQL oracle): pagerank_converged (unbounded-k
     # convergence), hyperanf (unbounded-k — value-verified at fixed k via
     # hyperanf_k3), als_sweeps/

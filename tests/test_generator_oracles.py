@@ -29,7 +29,9 @@ def _signed(x: int) -> int:
 @pytest.mark.parametrize("v", [0, 1, -1, 42, 2**63 - 1, -(2**63),
                                123456789123456789, -98765432109876])
 def test_xxh64_long_matches_spark(spark, v):
-    got = spark.range(1).select(F.xxhash64(F.lit(v))).first()[0]
+    # lit(v) for small ints is an INT literal (hashInt path) — cast to
+    # long so Spark takes the hashLong path the generators use via col(id)
+    got = spark.range(1).select(F.xxhash64(F.lit(v).cast("long"))).first()[0]
     assert got == _signed(xxh64_long_py(v, 42))
 
 
