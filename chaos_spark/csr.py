@@ -172,24 +172,39 @@ _DISK_BLOCK_BASE = _os.environ.get("CHAOS_CSR_BLOCK_DIR", "/tmp/chaos_csr_blocks
 CSR_AUTO_MIN_EDGES = int(_os.environ.get("CHAOS_CSR_MIN_EDGES", 1_000_000))
 
 
-def _auto_dispatch_to_join(
+def _auto_route(
     edges: DataFrame,
     mode: str,
     num_edges: int | None,
     token: str | None,
     layout: str | None,
     packed: bool = False,
-) -> int | None:
-    """Shared auto-mode gate: return the edge count if the JOIN path should
-    serve this call, else None (run the CSR kernel). Explicit CSR knobs
-    (token/layout/packed or mode="csr") always force the kernel — tests
-    and block-reusing callers pin the path they mean."""
+) -> tuple[str, int | None]:
+    """Shared auto-mode router: ``("join", |E|)`` below the crossover,
+    ``("stream", None)`` at scale, ``("csr", None)`` when the caller pins
+    the classic kernel. The scale default moved from the classic CSR
+    kernel to the fused slipstore stream path in round 5 on measured
+    evidence: 5.8–8.4× faster per superstep on the 64M-edge bench graph
+    (local[16] 2.79 s → 0.48 s) and 455M edges/s sustained at 512M edges
+    (BENCH/BASELINE.md); at sf0.1 with blocks built, stream supersteps
+    are also ~4–6× faster (BENCH_r05 extras *_stream_forced_iter_sec) —
+    the join path only wins cold below ~1M edges where block build
+    dominates. Explicit ``mode="stream"`` pins the stream path (token
+    forwarded for block reuse); explicit classic-kernel knobs
+    (token/layout/packed or ``mode="csr"``) pin the classic kernel —
+    tests and block-reusing callers mean that path."""
+    if mode == "stream":
+        return "stream", None
     if mode == "csr" or token is not None or layout is not None or packed:
-        return None
+        return "csr", None
     if mode != "auto":
-        raise ValueError(f"unknown mode {mode!r} (expected 'auto' or 'csr')")
+        raise ValueError(
+            f"unknown mode {mode!r} (expected 'auto', 'csr' or 'stream')"
+        )
     ne = num_edges if num_edges is not None else edges.count()
-    return ne if ne < CSR_AUTO_MIN_EDGES else None
+    if ne < CSR_AUTO_MIN_EDGES:
+        return "join", ne
+    return "stream", None
 
 
 _BLOCK_MEMBERS = ("ids", "pos", "du", "di", "starts", "boff", "w")
@@ -735,10 +750,13 @@ def pagerank_csr(
 
     ``mode="auto"`` (default): below CSR_AUTO_MIN_EDGES the call is
     served by the measured-faster JOIN path (identical semantics, same
-    oracle); ``mode="csr"`` or any explicit token/layout/packed pins the
-    kernel. ``num_edges``: caller-known |E| skips the dispatch count."""
-    ne = _auto_dispatch_to_join(edges, mode, num_edges, token, layout, packed)
-    if ne is not None:
+    oracle); at or above it by the fused slipstore STREAM path (measured
+    5.8–8.4× faster per superstep than the classic kernel, same oracle —
+    see _auto_route). ``mode="csr"`` or any explicit token/layout/packed
+    pins the classic kernel; ``mode="stream"`` pins the stream path.
+    ``num_edges``: caller-known |E| skips the dispatch count."""
+    route, ne = _auto_route(edges, mode, num_edges, token, layout, packed)
+    if route == "join":
         from .algos.pagerank import pagerank as _pr_join
 
         return _pr_join(
@@ -746,6 +764,15 @@ def pagerank_csr(
             num_partitions=num_partitions, checkpointer=checkpointer,
             checkpoint_every=checkpoint_every, num_edges=ne,
             weight_col=weight_col,
+        )
+    if route == "stream":
+        from .stream import pagerank_stream as _pr_stream
+
+        return _pr_stream(
+            spark, edges, damping=damping, tol=tol, max_iters=max_iters,
+            num_partitions=num_partitions, token=token,
+            weight_col=weight_col, checkpointer=checkpointer,
+            checkpoint_every=checkpoint_every,
         )
     if weight_col is not None:
         from .algos.pagerank import _validate_weights
@@ -964,15 +991,23 @@ def cc_csr(
     """Hash-min connected components via the CSR kernel; exact same
     fixed point as algos.connected_components (min is order-free).
     ``checkpointer``: durable resume (disk layout only).
-    ``mode``/``num_edges``: join/CSR crossover dispatch, see pagerank_csr."""
-    ne = _auto_dispatch_to_join(edges, mode, num_edges, token, layout, packed)
-    if ne is not None:
+    ``mode``/``num_edges``: join/stream/CSR dispatch, see pagerank_csr."""
+    route, ne = _auto_route(edges, mode, num_edges, token, layout, packed)
+    if route == "join":
         from .algos.cc import connected_components as _cc_join
 
         return _cc_join(
             spark, edges, max_iters=max_iters, num_partitions=num_partitions,
             checkpointer=checkpointer, checkpoint_every=checkpoint_every,
             num_edges=ne,
+        )
+    if route == "stream":
+        from .stream_algos import cc_stream as _cc_stream
+
+        return _cc_stream(
+            spark, edges, max_iters=max_iters, num_partitions=num_partitions,
+            token=token, checkpointer=checkpointer,
+            checkpoint_every=checkpoint_every,
         )
     g = CsrGraph(
         spark, edges, num_partitions, undirected=True, packed=packed,
@@ -1067,15 +1102,23 @@ def lpa_csr(
     the two-level LPA fold; the JVM side then sums partial counts and
     picks max_by(label, (cnt, -label)) per dst. The north star names LPA
     among the CSR-path algorithms [BJ north_star].
-    ``mode``/``num_edges``: join/CSR crossover dispatch, see pagerank_csr."""
-    ne = _auto_dispatch_to_join(edges, mode, num_edges, token, None)
-    if ne is not None:
+    ``mode``/``num_edges``: join/stream/CSR dispatch, see pagerank_csr."""
+    route, ne = _auto_route(edges, mode, num_edges, token, None)
+    if route == "join":
         from .algos.lpa import label_propagation as _lpa_join
 
         return _lpa_join(
             spark, edges, max_iters=max_iters, num_partitions=num_partitions,
             checkpointer=checkpointer, checkpoint_every=checkpoint_every,
             num_edges=ne,
+        )
+    if route == "stream":
+        from .stream_algos import lpa_stream as _lpa_stream
+
+        return _lpa_stream(
+            spark, edges, max_iters=max_iters, num_partitions=num_partitions,
+            token=token, checkpointer=checkpointer,
+            checkpoint_every=checkpoint_every,
         )
     g = CsrGraph(spark, edges, num_partitions, undirected=True, token=token)
     with superstep_conf(spark, g.p, adaptive=False):

@@ -192,3 +192,55 @@ def test_check_aligned_guard():
     ):
         with pytest.raises(RuntimeError, match="misaligned"):
             _check_aligned(blk, bad)
+
+
+def test_auto_route_three_way():
+    """mode="auto" routes by the measured crossover — join below
+    CSR_AUTO_MIN_EDGES, fused stream at/above it — while explicit knobs
+    pin the named path. Pure routing unit test (num_edges supplied so no
+    count job runs; edges is never touched)."""
+    from chaos_spark import csr as csr_mod
+
+    lo, hi = csr_mod.CSR_AUTO_MIN_EDGES - 1, csr_mod.CSR_AUTO_MIN_EDGES
+    route = csr_mod._auto_route
+    assert route(None, "auto", lo, None, None) == ("join", lo)
+    assert route(None, "auto", hi, None, None) == ("stream", None)
+    assert route(None, "csr", lo, None, None) == ("csr", None)
+    assert route(None, "stream", lo, "tok", None) == ("stream", None)
+    # explicit classic-kernel knobs pin the kernel even in auto mode
+    assert route(None, "auto", hi, "tok", None) == ("csr", None)
+    assert route(None, "auto", hi, None, "disk") == ("csr", None)
+    assert route(None, "auto", hi, None, None, packed=True) == ("csr", None)
+    with pytest.raises(ValueError, match="unknown mode"):
+        route(None, "bogus", hi, None, None)
+
+
+def test_auto_route_serves_stream_above_crossover(spark, monkeypatch):
+    """End-to-end: with the crossover lowered beneath the fixture size,
+    mode="auto" serves pagerank/cc/lpa through the fused stream path and
+    still matches the join-path fixed point (same oracle as the forced
+    paths above)."""
+    from chaos_spark import csr as csr_mod
+    from chaos_spark.algos import label_propagation
+    from chaos_spark.csr import lpa_csr
+
+    monkeypatch.setattr(csr_mod, "CSR_AUTO_MIN_EDGES", 1)
+    edges = spark.createDataFrame(GRAPHS["two_cliques_bridge"]())
+    a = _ranks(pagerank_csr(spark, edges, tol=1e-6, max_iters=60))
+    b = _ranks(pagerank(spark, edges, tol=1e-6, max_iters=60))
+    ks = sorted(a)
+    assert a.keys() == b.keys()
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=0, atol=1e-9)
+    cc_a = dict(cc_csr(spark, edges).state.select("id", "label").collect())
+    cc_b = dict(
+        connected_components(spark, edges).state.select("id", "label").collect()
+    )
+    assert cc_a == cc_b
+    lpa_a = dict(
+        lpa_csr(spark, edges, max_iters=3).state.select("id", "label").collect()
+    )
+    lpa_b = dict(
+        label_propagation(spark, edges, max_iters=3)
+        .state.select("id", "label").collect()
+    )
+    assert lpa_a == lpa_b
