@@ -748,12 +748,16 @@ def main() -> None:
         return
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scale", type=int, default=22)
-    ap.add_argument("--edges", type=int, default=64_000_000)
+    # Defaults ARE the BASELINE.md declared protocol (r2 verdict item 1:
+    # the tool must produce the number the docs declare). Since the r5
+    # GATE RESULT the declared graph is the 512M-edge RMAT (scale 24) —
+    # the 64M graph under-amortizes Spark's ~30 ms/task fixed machinery
+    # against a ~6 ms/task kernel (BENCH/BASELINE.md fatter-task
+    # analysis), so it remains the quick diagnostic companion
+    # (--scale 22 --edges 64000000 --companion), not the headline.
+    ap.add_argument("--scale", type=int, default=24)
+    ap.add_argument("--edges", type=int, default=512_000_000)
     ap.add_argument("--supersteps", type=int, default=10)
-    # Defaults ARE the BASELINE.md protocol (r2 verdict item 1: the tool
-    # must produce the number the docs declare): local[4] vs local[16],
-    # CSR disk-block path, shuffle pinned hi*4.
     # Declared N-vs-4N proxy: local[2] vs local[8]. A CSR/stream task
     # pairs a JVM thread with a Python worker, so local[16] = 32 busy
     # threads = this host's ENTIRE 32 vCPUs: the engine-independent
