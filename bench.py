@@ -172,10 +172,12 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     extras["pagerank_setup_sec"] = round(pr_sec - pr.total_seconds, 3)
 
     # Same convergence via the CSR entry point. mode="auto" (default)
-    # encodes the measured join/CSR crossover (BENCH/SCALING_ANALYSIS.md
-    # §3c): at sf0.1 (~60k edges) the join path serves this call; at the
-    # 64M-edge scaling graph the kernel does. The forced-kernel time is
-    # kept in extras so the raw CSR path stays attributable per round.
+    # encodes the measured per-algorithm crossovers (csr.py constants;
+    # scripts/sf01_path_ab.py): at sf0.1 the cust-supp graph is 587k
+    # edges >= STREAM_AUTO_MIN_EDGES, so auto serves this leg through
+    # the fused stream path (cold 5.9 s vs join 11.6 s). The forced
+    # classic-kernel time is kept in extras so the raw CSR path stays
+    # attributable per round.
     from chaos_spark.csr import pagerank_csr
 
     t0 = time.time()
@@ -185,6 +187,10 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     extras["pagerank_csr_supersteps"] = pr2.supersteps
     extras["pagerank_csr_iter_sec"] = round(pr2.total_seconds, 3)
     extras["pagerank_csr_build_sec"] = round(csr_sec - pr2.total_seconds, 3)
+    # Forced classic kernel. Its CsrGraph adopts the auto leg's directed
+    # blocks via the warm-block registry (csr.py _WARM_BLOCKS), so this
+    # leg measures the classic kernel WARM — build cost is attributed
+    # once, to pagerank_conv_csr above; iter_sec is the comparable number.
     t0 = time.time()
     pr3 = pagerank_csr(spark, e_cs, tol=1e-6, max_iters=100, mode="csr")
     extras["pagerank_csr_forced_sec"] = round(time.time() - t0, 3)
@@ -217,10 +223,16 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     extras["lpa_csr_forced_iter_sec"] = round(lpa_forced.total_seconds, 3)
     # Fused stream path, forced, same jobs — kept in extras (like the
     # forced-CSR legs) so the per-round record shows where each path wins
-    # at this scale: at sf0.1 (~60k edges) the fixed per-superstep cost
-    # dominates and join serves the headline; at the 64M-edge graph the
-    # stream kernels win 5.8-8.4x (BENCH/SCALING_ANALYSIS.md,
-    # scripts/label_stream_ab.py).
+    # at this scale. Since the per-algorithm crossover landed (csr.py,
+    # scripts/sf01_path_ab.py) auto serves lpa_csr_10 through the stream
+    # path at sf0.1 (294k edges), building the undirected part-graph
+    # blocks once; the warm-block registry then serves those same blocks
+    # to this section's forced classic + stream legs, which therefore
+    # measure WARM (and it would route a subsequent cc_csr auto
+    # call through warm stream — measured 2.1 s vs join 4.4 s; the
+    # headline cc_conv leg stays the join algorithm for round-over-round
+    # comparability and runs before any blocks exist anyway). These
+    # forced legs keep both paths attributable: WARM wall + iter times.
     from chaos_spark.stream_algos import cc_stream, lpa_stream
 
     t0 = time.time()

@@ -169,7 +169,76 @@ _DISK_BLOCK_BASE = _os.environ.get("CHAOS_CSR_BLOCK_DIR", "/tmp/chaos_csr_blocks
 # per-superstep parity and CSR wins on scaling + amortized setup. The
 # ``mode="auto"`` default in pagerank_csr/cc_csr/lpa_csr encodes that
 # crossover so callers never run the measured-slower path by default.
+#
+# That 1M figure was measured against the CLASSIC kernel. The fused
+# stream path amortizes much earlier because its per-superstep cost is
+# 3-6x lower than the join path's even at sf0.1 (scripts/sf01_path_ab.py,
+# BENCH/sf01_path_ab.json — cold, fresh block dir, local[32]):
+#   pagerank conv 587k edges, 31 steps: join 11.6 s, stream COLD 5.9 s
+#   lpa 10 steps, 294k edges:           join  7.3 s, stream COLD 3.0 s
+#   cc  ~5 steps, 294k edges:           join  4.4 s, stream COLD 5.6 s
+#                                        (stream warm-blocks 2.1 s)
+# and at sf0.01 (~5k edges) the two are a wash (driver record: 2.3 s vs
+# 2.4 s — fixed Spark job cost dominates either path). So the many-
+# superstep algorithms (PageRank, LPA) route to the stream path from
+# 100k edges; CC — few, cheap supersteps, so the one-time block build
+# isn't amortized from cold at ~300k — keeps the conservative 1M
+# crossover (block reuse via the _BUILT fingerprint makes warm CC calls
+# win anyway whenever another algorithm already built the layout).
 CSR_AUTO_MIN_EDGES = int(_os.environ.get("CHAOS_CSR_MIN_EDGES", 1_000_000))
+STREAM_AUTO_MIN_EDGES = int(
+    _os.environ.get("CHAOS_STREAM_MIN_EDGES", 100_000)
+)
+
+# ---------------------------------------------------------------------------
+# Warm-block registry — in-process analogue of Chaos's cross-algorithm
+# partition reuse ([C15] §4: the storage subsystem's partitioned edge data
+# outlives one computation). v5 disk blocks are algorithm-agnostic (CC and
+# LPA share undirected blocks; PageRank's directed blocks serve any
+# scatter-sum), so a graph built for one algorithm should serve the next
+# WITHOUT rebuilding and without every caller hand-threading tokens.
+#
+# Keyed by the edges DataFrame's Catalyst SEMANTIC hash (same analyzed
+# logical plan ⇒ same data, zero extra Spark jobs to probe) plus the block
+# flavor (undirected/weight_col/num_partitions). Correctness never rests
+# on the key: adoption only picks a token, and CsrGraph.__init__ always
+# re-validates the on-disk _BUILT marker against the freshly computed
+# |E| + content fingerprint — a hash collision or regenerated source data
+# rebuilds instead of serving stale blocks. Registered dirs are kept for
+# the process lifetime (capped: graphs above _WARM_KEEP_MAX_EDGES keep the
+# ephemeral-cleanup behavior; campaign-scale graphs pin tokens anyway).
+_WARM_BLOCKS: dict[tuple, tuple[str, str]] = {}
+_WARM_KEEP_MAX_EDGES = int(
+    _os.environ.get("CHAOS_WARM_KEEP_MAX_EDGES", 16_000_000)
+)
+
+
+def _warm_key(
+    edges: DataFrame,
+    undirected: bool,
+    weight_col: str | None,
+    num_partitions: int | None,
+) -> tuple | None:
+    """Registry key for ``edges`` + block flavor; None when the semantic
+    hash is unavailable (e.g. Spark Connect — registry silently off)."""
+    try:
+        h = int(edges._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:  # py4j absent/shape change: feature off, never fatal
+        return None
+    return (h, bool(undirected), weight_col, num_partitions)
+
+
+def _warm_blocks_ready(key: tuple | None) -> str | None:
+    """Token of already-built blocks for ``key``, or None. Drops the entry
+    if the block dir vanished underneath (e.g. /tmp cleaner)."""
+    ent = _WARM_BLOCKS.get(key) if key is not None else None
+    if ent is None:
+        return None
+    token, block_dir = ent
+    if _os.path.exists(_os.path.join(block_dir, "_BUILT")):
+        return token
+    _WARM_BLOCKS.pop(key, None)
+    return None
 
 
 def _auto_route(
@@ -179,6 +248,8 @@ def _auto_route(
     token: str | None,
     layout: str | None,
     packed: bool = False,
+    min_edges: int = CSR_AUTO_MIN_EDGES,
+    warm_key: tuple | None = None,
 ) -> tuple[str, int | None]:
     """Shared auto-mode router: ``("join", |E|)`` below the crossover,
     ``("stream", None)`` at scale, ``("csr", None)`` when the caller pins
@@ -188,11 +259,19 @@ def _auto_route(
     (local[16] 2.79 s → 0.48 s) and 455M edges/s sustained at 512M edges
     (BENCH/BASELINE.md); at sf0.1 with blocks built, stream supersteps
     are also ~4–6× faster (BENCH_r05 extras *_stream_forced_iter_sec) —
-    the join path only wins cold below ~1M edges where block build
-    dominates. Explicit ``mode="stream"`` pins the stream path (token
-    forwarded for block reuse); explicit classic-kernel knobs
-    (token/layout/packed or ``mode="csr"``) pin the classic kernel —
-    tests and block-reusing callers mean that path."""
+    the join path only wins cold below the per-algorithm ``min_edges``
+    crossover where block build dominates (see the constants above:
+    100k for the many-superstep algorithms, 1M for CC). Explicit
+    ``mode="stream"`` pins the stream path (token forwarded for block
+    reuse); explicit classic-kernel knobs (token/layout/packed or
+    ``mode="csr"``) pin the classic kernel — tests and block-reusing
+    callers mean that path.
+
+    ``warm_key``: when the warm-block registry already holds built v5
+    blocks for this exact edges-plan + flavor, the cold-build argument
+    behind the join crossover is void — route stream even below
+    ``min_edges`` (measured: CC at sf0.1 join 4.4 s vs stream
+    warm-blocks 2.1 s, BENCH/sf01_path_ab.json)."""
     if mode == "stream":
         return "stream", None
     if mode == "csr" or token is not None or layout is not None or packed:
@@ -202,7 +281,9 @@ def _auto_route(
             f"unknown mode {mode!r} (expected 'auto', 'csr' or 'stream')"
         )
     ne = num_edges if num_edges is not None else edges.count()
-    if ne < CSR_AUTO_MIN_EDGES:
+    if ne < min_edges:
+        if _warm_blocks_ready(warm_key) is not None:
+            return "stream", None
         return "join", ne
     return "stream", None
 
@@ -399,7 +480,22 @@ class CsrGraph:
         # worker caches across runs (bench warmup -> timed run).
         import uuid
 
-        self.token = token or f"g-{uuid.uuid4().hex}-{self.num_edges}-{self.p}"
+        # Warm-block adoption: an un-tokened disk-layout graph whose edges
+        # plan + flavor matches a registered build reuses that token (and
+        # thus its block dir). Always safe: the _BUILT marker below is
+        # validated against THIS instance's freshly computed |E| + content
+        # fingerprint, so a semantic-hash collision or regenerated source
+        # rebuilds instead of reading stale blocks.
+        self._warm_key = (
+            _warm_key(edges, undirected, weight_col, num_partitions)
+            if layout == "disk"
+            else None
+        )
+        warm_tok = _warm_blocks_ready(self._warm_key) if token is None else None
+        self.token = (
+            token or warm_tok
+            or f"g-{uuid.uuid4().hex}-{self.num_edges}-{self.p}"
+        )
         # Worker-cache namespace: includes the edge count AND the content
         # fingerprint so a pinned token whose underlying data changed
         # (marker-triggered block REBUILD, see _build_disk_blocks) can
@@ -409,7 +505,7 @@ class CsrGraph:
         self.cache_token = f"{self.token}#{self.num_edges}:{self.edge_fp:x}"
         self.block_dir = None
         self.blocks = None
-        self._ephemeral_blocks = token is None
+        self._ephemeral_blocks = token is None and warm_tok is None
         if layout == "disk":
             # Vertex pre-pass FIRST: the v3 block build stores build-time
             # gather positions against each partition's sorted id vector,
@@ -428,6 +524,17 @@ class CsrGraph:
                 self.out_deg = out_degrees(e).persist()
             self.out_deg.count()
             self._build_disk_blocks(e)  # needs verts + out_deg (apply pass)
+            # Register the built (or marker-validated) blocks for warm
+            # reuse by the next algorithm over the same edges plan; the
+            # dir is then retained past unpersist() for the process
+            # lifetime. Capped so campaign-scale ephemeral graphs keep
+            # their cleanup (pinned-token campaigns retain dirs anyway).
+            if (
+                self._warm_key is not None
+                and self.num_edges <= _WARM_KEEP_MAX_EDGES
+            ):
+                _WARM_BLOCKS[self._warm_key] = (self.token, self.block_dir)
+                self._ephemeral_blocks = False
             self.edges = e  # logical only; supersteps never touch it
             e.unpersist()  # build-time cache done; verts/degrees stay
             return
@@ -748,14 +855,19 @@ def pagerank_csr(
     by the block's float64 ``w`` array; same weight-domain validation as
     algos.pagerank (positive, non-NULL).
 
-    ``mode="auto"`` (default): below CSR_AUTO_MIN_EDGES the call is
-    served by the measured-faster JOIN path (identical semantics, same
-    oracle); at or above it by the fused slipstore STREAM path (measured
+    ``mode="auto"`` (default): below STREAM_AUTO_MIN_EDGES (100k; CC
+    uses the conservative 1M CSR_AUTO_MIN_EDGES) the call is served by
+    the measured-faster JOIN path (identical semantics, same oracle);
+    at or above it by the fused slipstore STREAM path (measured
     5.8–8.4× faster per superstep than the classic kernel, same oracle —
     see _auto_route). ``mode="csr"`` or any explicit token/layout/packed
     pins the classic kernel; ``mode="stream"`` pins the stream path.
     ``num_edges``: caller-known |E| skips the dispatch count."""
-    route, ne = _auto_route(edges, mode, num_edges, token, layout, packed)
+    route, ne = _auto_route(
+        edges, mode, num_edges, token, layout, packed,
+        min_edges=STREAM_AUTO_MIN_EDGES,
+        warm_key=_warm_key(edges, False, weight_col, num_partitions),
+    )
     if route == "join":
         from .algos.pagerank import pagerank as _pr_join
 
@@ -991,8 +1103,15 @@ def cc_csr(
     """Hash-min connected components via the CSR kernel; exact same
     fixed point as algos.connected_components (min is order-free).
     ``checkpointer``: durable resume (disk layout only).
-    ``mode``/``num_edges``: join/stream/CSR dispatch, see pagerank_csr."""
-    route, ne = _auto_route(edges, mode, num_edges, token, layout, packed)
+    ``mode``/``num_edges``: join/stream/CSR dispatch, see pagerank_csr.
+    CC keeps the conservative 1M cold crossover (few cheap supersteps
+    don't amortize a cold block build) but routes stream below it when
+    the warm-block registry already holds this graph's undirected blocks
+    (e.g. LPA ran first: sf0.1 join 4.4 s vs warm stream 2.1 s)."""
+    route, ne = _auto_route(
+        edges, mode, num_edges, token, layout, packed,
+        warm_key=_warm_key(edges, True, None, num_partitions),
+    )
     if route == "join":
         from .algos.cc import connected_components as _cc_join
 
@@ -1103,7 +1222,11 @@ def lpa_csr(
     picks max_by(label, (cnt, -label)) per dst. The north star names LPA
     among the CSR-path algorithms [BJ north_star].
     ``mode``/``num_edges``: join/stream/CSR dispatch, see pagerank_csr."""
-    route, ne = _auto_route(edges, mode, num_edges, token, None)
+    route, ne = _auto_route(
+        edges, mode, num_edges, token, None,
+        min_edges=STREAM_AUTO_MIN_EDGES,
+        warm_key=_warm_key(edges, True, None, num_partitions),
+    )
     if route == "join":
         from .algos.lpa import label_propagation as _lpa_join
 

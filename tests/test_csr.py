@@ -205,6 +205,22 @@ def test_auto_route_three_way():
     route = csr_mod._auto_route
     assert route(None, "auto", lo, None, None) == ("join", lo)
     assert route(None, "auto", hi, None, None) == ("stream", None)
+    # per-algorithm crossover: the many-superstep algorithms (pagerank,
+    # lpa) pass min_edges=STREAM_AUTO_MIN_EDGES (100k, measured in
+    # scripts/sf01_path_ab.py); CC keeps the conservative default.
+    s_lo = csr_mod.STREAM_AUTO_MIN_EDGES - 1
+    s_hi = csr_mod.STREAM_AUTO_MIN_EDGES
+    assert csr_mod.STREAM_AUTO_MIN_EDGES < csr_mod.CSR_AUTO_MIN_EDGES
+    assert route(None, "auto", s_lo, None, None,
+                 min_edges=s_hi) == ("join", s_lo)
+    assert route(None, "auto", s_hi, None, None,
+                 min_edges=s_hi) == ("stream", None)
+    # ... and a size between the two crossovers routes join for CC but
+    # stream for pagerank/lpa
+    mid = (s_hi + csr_mod.CSR_AUTO_MIN_EDGES) // 2
+    assert route(None, "auto", mid, None, None) == ("join", mid)
+    assert route(None, "auto", mid, None, None,
+                 min_edges=s_hi) == ("stream", None)
     assert route(None, "csr", lo, None, None) == ("csr", None)
     assert route(None, "stream", lo, "tok", None) == ("stream", None)
     # explicit classic-kernel knobs pin the kernel even in auto mode
@@ -225,6 +241,7 @@ def test_auto_route_serves_stream_above_crossover(spark, monkeypatch):
     from chaos_spark.csr import lpa_csr
 
     monkeypatch.setattr(csr_mod, "CSR_AUTO_MIN_EDGES", 1)
+    monkeypatch.setattr(csr_mod, "STREAM_AUTO_MIN_EDGES", 1)
     edges = spark.createDataFrame(GRAPHS["two_cliques_bridge"]())
     a = _ranks(pagerank_csr(spark, edges, tol=1e-6, max_iters=60))
     b = _ranks(pagerank(spark, edges, tol=1e-6, max_iters=60))
@@ -244,3 +261,57 @@ def test_auto_route_serves_stream_above_crossover(spark, monkeypatch):
         .state.select("id", "label").collect()
     )
     assert lpa_a == lpa_b
+
+
+def test_warm_block_registry_reuse_and_reroute(spark, monkeypatch):
+    """Cross-algorithm block reuse ([C15] §4 partition reuse): a stream
+    LPA run registers its undirected v5 blocks; a subsequent cc_csr in
+    AUTO mode below the cold crossover then routes STREAM (warm blocks
+    void the cold-build argument), adopts the same block dir without
+    rebuilding, and still matches the join fixed point."""
+    import os
+
+    from chaos_spark import csr as csr_mod
+    from chaos_spark.csr import lpa_csr
+
+    monkeypatch.setattr(csr_mod, "_WARM_BLOCKS", {})
+    edges = spark.createDataFrame(GRAPHS["two_cliques_bridge"]())
+
+    # Directed / weighted flavors are distinct keys — no false sharing.
+    k_und = csr_mod._warm_key(edges, True, None, None)
+    k_dir = csr_mod._warm_key(edges, False, None, None)
+    assert k_und is not None and k_dir is not None and k_und != k_dir
+
+    lpa_csr(spark, edges, max_iters=3, mode="stream")
+    assert csr_mod._warm_blocks_ready(k_und) is not None
+    assert csr_mod._warm_blocks_ready(k_dir) is None
+    token, block_dir = csr_mod._WARM_BLOCKS[k_und]
+    marker = os.path.join(block_dir, "_BUILT")
+    built_at = os.path.getmtime(marker)
+
+    # Below the cold crossover the plain router says join...
+    assert csr_mod._auto_route(edges, "auto", 12, None, None) == ("join", 12)
+    # ...but with warm blocks the probe flips it to stream.
+    assert csr_mod._auto_route(
+        edges, "auto", 12, None, None, warm_key=k_und
+    ) == ("stream", None)
+
+    cc_a = dict(cc_csr(spark, edges).state.select("id", "label").collect())
+    cc_b = dict(
+        connected_components(spark, edges).state.select("id", "label").collect()
+    )
+    assert cc_a == cc_b
+    # Same registered dir, no rebuild (marker untouched), entry intact.
+    assert csr_mod._WARM_BLOCKS[k_und] == (token, block_dir)
+    assert os.path.getmtime(marker) == built_at
+
+    # Registry self-heals when the dir vanishes: probe drops the entry
+    # and the router falls back to the join path.
+    import shutil
+
+    shutil.rmtree(block_dir)
+    assert csr_mod._warm_blocks_ready(k_und) is None
+    assert k_und not in csr_mod._WARM_BLOCKS
+    assert csr_mod._auto_route(
+        edges, "auto", 12, None, None, warm_key=k_und
+    ) == ("join", 12)
