@@ -399,6 +399,37 @@ def q_sssp_k5(spark, sf_dir):
     return res.state.select("id", "dist")
 
 
+def q_bfs_stream_k4(spark, sf_dir):
+    """Same 4-superstep BFS as bfs_k4 but through the fused min-plus
+    STREAM path (float64 distance blobs over v5 blocks, [X13] §5.2
+    semantics) — verified against the SAME unrolled oracle: full
+    re-relaxation ≡ frontier relaxation per superstep and min is
+    order-free, so parity is exact incl. NULL-for-unreachable."""
+    from .stream_algos import bfs_stream
+
+    e = cust_supp_edges(spark, sf_dir)
+    root = e.agg(F.min("src")).first()[0]
+    res = bfs_stream(spark, e, root=int(root), max_iters=4)
+    return res.state.select("id", "dist")
+
+
+def q_sssp_stream_k5(spark, sf_dir):
+    """Same weighted 5-superstep Bellman–Ford as sssp_k5 but through the
+    fused min-plus stream path over WEIGHTED v5 blocks (duplicate
+    (src,dst) weights MIN-folded at graph prep — the build's sum then
+    sees unique pairs) — verified against the SAME unrolled weighted
+    oracle, exact."""
+    from .stream_algos import sssp_stream
+
+    e = cust_supp_edges(spark, sf_dir).withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double"),
+    )
+    root = e.agg(F.min("src")).first()[0]
+    res = sssp_stream(spark, e, root=int(root), weight_col="weight", max_iters=5)
+    return res.state.select("id", "dist")
+
+
 SQL_WEIGHTED_EDGES = (
     f"SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS weight"
     f" FROM ({SQL_CUST_SUPP_EDGES}) _we"
@@ -1737,6 +1768,7 @@ QUERIES = {
     "lpa_csr_k3": q_lpa_csr_k3,
     "lpa_stream_k3": q_lpa_stream_k3,
     "sssp_k5": q_sssp_k5,
+    "sssp_stream_k5": q_sssp_stream_k5,
     "pagerank_w_k5": q_pagerank_w_k5,
     "pagerank_w_csr_k5": q_pagerank_w_csr_k5,
     "pagerank_w_stream_k5": q_pagerank_w_stream_k5,
@@ -1745,6 +1777,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
     "bfs_k4": q_bfs_k4,
+    "bfs_stream_k4": q_bfs_stream_k4,
     "kcore3": q_kcore3,
     "spmv_acctbal": q_spmv_acctbal,
     "dedup_exact": q_dedup_exact,
@@ -1799,12 +1832,14 @@ ORACLES = {
     "lpa_csr_k3": lpa_sql(SQL_PART_EDGES, 3),
     "lpa_stream_k3": lpa_sql(SQL_PART_EDGES, 3),
     "sssp_k5": sssp_sql(SQL_WEIGHTED_EDGES, 5),
+    "sssp_stream_k5": sssp_sql(SQL_WEIGHTED_EDGES, 5),
     "pagerank_w_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
     "pagerank_w_csr_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
     "pagerank_w_stream_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
     "triangle_count": triangle_count_sql(SQL_PART_EDGES),
     "triangles_per_vertex": triangles_per_vertex_sql(SQL_PART_EDGES),
     "bfs_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),
+    "bfs_stream_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),
     "kcore3": kcore_sql(SQL_PART_EDGES, 3, 3),
     "spmv_acctbal": SQL_SPMV,
     "dedup_exact": SQL_DEDUP,

@@ -12,11 +12,12 @@ from __future__ import annotations
 
 import pytest
 
+from chaos_spark.algos.bfs import bfs, sssp
 from chaos_spark.algos.cc import connected_components
 from chaos_spark.algos.lpa import label_propagation
 from chaos_spark.checkpoint import CheckpointManager
 from chaos_spark.fixtures import g1_chain, g2_star, g3_cliques, g4_powerlaw
-from chaos_spark.stream_algos import cc_stream, lpa_stream
+from chaos_spark.stream_algos import bfs_stream, cc_stream, lpa_stream, sssp_stream
 
 from tests.oracles import cc_oracle, lpa_oracle
 
@@ -114,4 +115,112 @@ def test_lpa_stream_resume_equals_uninterrupted(spark, tmp_path):
         spark, edges, max_iters=8, checkpointer=cp2, checkpoint_every=3,
     )
     assert _labels(full) == _labels(res)
+    assert res.supersteps == full.supersteps
+
+
+# ---------------------------------------------------------------------------
+# SSSP / BFS min-plus stream kernel — exact parity with algos.bfs
+# (full re-relaxation ≡ frontier relaxation per superstep; min of the
+# same float64 candidates is order-free, so equality is EXACT incl. the
+# NULL-for-unreachable contract — no tolerance anywhere).
+# ---------------------------------------------------------------------------
+
+def _dists(res):
+    return {r["id"]: r["dist"] for r in res.state.select("id", "dist").collect()}
+
+
+def _weighted(pdf):
+    pdf = pdf.copy()
+    pdf["weight"] = (1 + (pdf["src"] + pdf["dst"]) % 5).astype("float64")
+    return pdf
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_bfs_stream_equals_join_path(spark, name):
+    pdf = GRAPHS[name]()
+    edges = spark.createDataFrame(pdf)
+    root = int(pdf["src"].min())
+    r_join = bfs(spark, edges, root, max_iters=100)
+    r_str = bfs_stream(spark, edges, root, max_iters=100)
+    assert _dists(r_join) == _dists(r_str)  # exact, incl. None
+    assert r_str.supersteps == r_join.supersteps
+    assert r_str.converged
+
+
+def test_sssp_stream_weighted_equals_join_path(spark):
+    pdf = _weighted(g4_powerlaw(scale=10, num_edges=5000))
+    edges = spark.createDataFrame(pdf)
+    root = int(pdf["src"].min())
+    r_join = sssp(spark, edges, root, weight_col="weight", max_iters=100)
+    r_str = sssp_stream(spark, edges, root, weight_col="weight", max_iters=100)
+    assert _dists(r_join) == _dists(r_str)
+    assert r_str.supersteps == r_join.supersteps
+    assert r_str.converged
+
+
+def test_sssp_stream_duplicate_weighted_edges_min_fold(spark):
+    # The weighted block build SUMS duplicate (src,dst) weights (PageRank
+    # semantics); SSSP must MIN-fold them. prep_graph pre-aggregates —
+    # duplicates with different weights must match the join path, which
+    # keeps both rows and min-folds at gather.
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "src":    [0, 0, 0, 1, 1, 2],
+        "dst":    [1, 1, 2, 3, 3, 3],
+        "weight": [5.0, 2.0, 1.0, 9.0, 1.0, 10.0],
+    })
+    edges = spark.createDataFrame(pdf)
+    r_join = sssp(spark, edges, 0, weight_col="weight", max_iters=20)
+    r_str = sssp_stream(spark, edges, 0, weight_col="weight", max_iters=20)
+    d = _dists(r_str)
+    assert d == _dists(r_join)
+    assert d[1] == 2.0 and d[3] == 2.0 + 1.0  # min dup weight, not sum
+
+
+def test_sssp_stream_symmetric_and_unreachable(spark):
+    # chain 0->1->...->k with root mid-chain: directed leaves the prefix
+    # unreachable (NULL dist in BOTH paths); symmetric reaches everything.
+    pdf = _weighted(g1_chain())
+    edges = spark.createDataFrame(pdf)
+    ids = sorted(set(pdf["src"]) | set(pdf["dst"]))
+    root = ids[len(ids) // 2]
+    r_join = sssp(spark, edges, root, weight_col="weight", max_iters=100)
+    r_str = sssp_stream(spark, edges, root, weight_col="weight", max_iters=100)
+    d = _dists(r_str)
+    assert d == _dists(r_join)
+    assert any(v is None for v in d.values())  # prefix unreachable
+    s_join = sssp(
+        spark, edges, root, weight_col="weight", symmetric=True, max_iters=100
+    )
+    s_str = sssp_stream(
+        spark, edges, root, weight_col="weight", symmetric=True, max_iters=100
+    )
+    sd = _dists(s_str)
+    assert sd == _dists(s_join)
+    assert all(v is not None for v in sd.values())
+
+
+def test_sssp_stream_resume_equals_uninterrupted(spark, tmp_path):
+    pdf = _weighted(g4_powerlaw(scale=9, num_edges=3000))
+    edges = spark.createDataFrame(pdf)
+    root = int(pdf["src"].min())
+    config = {"algo": "sssp_stream", "graph": "g4s9", "root": root}
+
+    full = sssp_stream(spark, edges, root, weight_col="weight", max_iters=100)
+
+    cp1 = CheckpointManager(str(tmp_path / "cp"), "sssp_stream", config)
+    part = sssp_stream(
+        spark, edges, root, weight_col="weight", max_iters=2,
+        checkpointer=cp1, checkpoint_every=2,
+    )
+    assert part.supersteps == 2
+    assert cp1.latest() is not None and cp1.latest()["superstep"] == 2
+
+    cp2 = CheckpointManager(str(tmp_path / "cp"), "sssp_stream", config)
+    res = sssp_stream(
+        spark, edges, root, weight_col="weight", max_iters=100,
+        checkpointer=cp2, checkpoint_every=2,
+    )
+    assert _dists(full) == _dists(res)
     assert res.supersteps == full.supersteps
