@@ -37,9 +37,49 @@ def sssp(
     num_partitions: int | None = None,
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 5,
+    mode: str = "auto",
+    num_edges: int | None = None,
 ) -> RunResult:
     """Single-source shortest paths; result state ``(id, dist)`` with NULL
-    dist for unreachable vertices. ``weight_col=None`` -> BFS (w = 1)."""
+    dist for unreachable vertices. ``weight_col=None`` -> BFS (w = 1).
+
+    ``mode="auto"`` (default) serves the call through the fused min-plus
+    STREAM path (stream_algos.sssp_stream — exact same per-superstep
+    state, superstep count, and output, see _MinPlusSSSP) at or above
+    csr.CSR_AUTO_MIN_EDGES, or below it when the warm-block registry
+    already holds this graph's blocks; the frontier join path serves the
+    rest (BFS/SSSP run few, cheap supersteps at small scale, so a cold
+    block build isn't amortized — CC's rationale). Measured at 64M edges
+    local[8], 5 fixed supersteps (scripts/sssp_stream_ab.py,
+    BENCH/sssp_stream_ab_64m.json): stream supersteps 0.33–0.66 s vs
+    join 0.86–19.3 s, dist diff 0. ``mode="join"``/``mode="stream"``
+    pin a path; ``num_edges``: caller-known |E| skips the dispatch
+    count."""
+    if mode not in ("auto", "join", "stream"):
+        raise ValueError(
+            f"unknown mode {mode!r} (expected 'auto', 'join' or 'stream')"
+        )
+    if mode != "join":
+        from ..csr import CSR_AUTO_MIN_EDGES, _warm_blocks_ready, _warm_key
+        from ..stream_algos import _MinPlusSSSP, sssp_stream
+
+        kern = _MinPlusSSSP(root, weight_col, symmetric)
+        route_stream = mode == "stream"
+        if not route_stream:
+            ne = num_edges if num_edges is not None else edges.count()
+            route_stream = ne >= CSR_AUTO_MIN_EDGES or (
+                _warm_blocks_ready(_warm_key(
+                    kern.prep_edges(edges), False,
+                    None if weight_col is None else "w", num_partitions,
+                )) is not None
+            )
+        if route_stream:
+            return sssp_stream(
+                spark, edges, root, weight_col=weight_col,
+                symmetric=symmetric, max_iters=max_iters,
+                num_partitions=num_partitions, checkpointer=checkpointer,
+                checkpoint_every=checkpoint_every,
+            )
     p = num_partitions or choose_num_partitions(
         spark, edges.count() * (2 if symmetric else 1)
     )

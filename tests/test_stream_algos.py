@@ -201,6 +201,68 @@ def test_sssp_stream_symmetric_and_unreachable(spark):
     assert all(v is not None for v in sd.values())
 
 
+def test_sssp_auto_routes_stream_at_scale(spark, monkeypatch):
+    # With the crossover lowered beneath the fixture size, algos.bfs.sssp
+    # mode="auto" serves the call through the fused stream path (observed
+    # via a spy) and still matches the pinned join path exactly.
+    import chaos_spark.csr as csr_mod
+    import chaos_spark.stream_algos as sa
+
+    monkeypatch.setattr(csr_mod, "CSR_AUTO_MIN_EDGES", 1)
+    called = {}
+    orig = sa.sssp_stream
+
+    def spy(*a, **k):
+        called["stream"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sa, "sssp_stream", spy)
+    pdf = _weighted(g4_powerlaw(scale=9, num_edges=3000))
+    edges = spark.createDataFrame(pdf)
+    root = int(pdf["src"].min())
+    a = sssp(spark, edges, root, weight_col="weight", max_iters=100)
+    assert called.get("stream")
+    b = sssp(
+        spark, edges, root, weight_col="weight", max_iters=100, mode="join"
+    )
+    assert _dists(a) == _dists(b)
+    assert a.supersteps == b.supersteps
+
+
+def test_sssp_auto_routes_stream_when_blocks_warm(spark, monkeypatch):
+    # Below the crossover auto serves join — unless an earlier stream run
+    # registered this exact prepped plan's blocks in the warm registry
+    # (keys are of the PREPPED plan, built independently per call, so this
+    # also proves semantic-hash stability across separately built plans).
+    import chaos_spark.csr as csr_mod
+    import chaos_spark.stream_algos as sa
+
+    monkeypatch.setattr(csr_mod, "_WARM_BLOCKS", {})
+    pdf = _weighted(g4_powerlaw(scale=9, num_edges=3000))
+    edges = spark.createDataFrame(pdf)
+    root = int(pdf["src"].min())
+
+    cold = sssp(spark, edges, root, weight_col="weight", max_iters=100)
+    assert not csr_mod._WARM_BLOCKS  # join path: no blocks built
+
+    warmup = sssp_stream(
+        spark, edges, root, weight_col="weight", max_iters=100
+    )
+    assert len(csr_mod._WARM_BLOCKS) == 1  # prepped plan registered
+
+    called = {}
+    orig = sa.sssp_stream
+
+    def spy(*a, **k):
+        called["stream"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sa, "sssp_stream", spy)
+    warm = sssp(spark, edges, root, weight_col="weight", max_iters=100)
+    assert called.get("stream")
+    assert _dists(warm) == _dists(cold) == _dists(warmup)
+
+
 def test_sssp_stream_resume_equals_uninterrupted(spark, tmp_path):
     pdf = _weighted(g4_powerlaw(scale=9, num_edges=3000))
     edges = spark.createDataFrame(pdf)
