@@ -342,6 +342,44 @@ def q_pagerank_stream_k5(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_resume_k5(spark, sf_dir):
+    """Checkpoint/resume through the driver VALUE gate (SURVEY §2.3
+    vertex-state sink): run 2 supersteps checkpointing every superstep
+    into a durable parquet+manifest sink, then a FRESH CheckpointManager
+    (new process state, same config sha) resumes from the manifest and
+    runs to superstep 5 — the result is verified against the SAME
+    unrolled-CTE oracle as pagerank_k5, proving save→restore→continue is
+    value-exact, not merely row-shaped. Asserts the resumed run actually
+    started from the checkpoint (superstep 3), so a silent from-scratch
+    restart cannot pass trivially."""
+    import shutil
+    import tempfile
+
+    from .checkpoint import CheckpointManager
+
+    e = cust_supp_edges(spark, sf_dir)
+    cfg = {"algo": "pagerank", "damping": D, "k": 5}
+    base = tempfile.mkdtemp(prefix="chaos_ckpt_q_")
+    try:
+        cp = CheckpointManager(base, "pagerank", cfg)
+        partial = pagerank(
+            spark, e, damping=D, tol=0.0, max_iters=2,
+            checkpointer=cp, checkpoint_every=1,
+        )
+        assert not partial.converged and cp.latest()["superstep"] == 2
+        cp2 = CheckpointManager(base, "pagerank", cfg)
+        res = pagerank(
+            spark, e, damping=D, tol=0.0, max_iters=5,
+            checkpointer=cp2, checkpoint_every=5,
+        )
+        assert res.history[0]["superstep"] == 3, "did not resume from ckpt"
+        out = res.state.select("id", F.round("rank", 6).alias("rank"))
+        # Sever lineage from the checkpoint parquet before removing it.
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_cc_csr_k(spark, sf_dir):
     """CC to convergence via the CSR kernel; exact (min is order-free),
     same fixed point as the unrolled-k oracle for any k >= diameter —
@@ -1761,6 +1799,7 @@ QUERIES = {
     "pagerank_k5": q_pagerank_k5,
     "pagerank_csr_k5": q_pagerank_csr_k5,
     "pagerank_stream_k5": q_pagerank_stream_k5,
+    "pagerank_resume_k5": q_pagerank_resume_k5,
     "cc_k6": q_cc_k6,
     "cc_csr_k6": q_cc_csr_k,
     "cc_stream_k6": q_cc_stream_k6,
@@ -1825,6 +1864,7 @@ ORACLES = {
     "pagerank_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "pagerank_csr_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "pagerank_stream_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
+    "pagerank_resume_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "cc_k6": cc_sql(SQL_PART_EDGES, 6),
     "cc_csr_k6": cc_sql(SQL_PART_EDGES, 6),
     "cc_stream_k6": cc_sql(SQL_PART_EDGES, 6),
