@@ -871,6 +871,20 @@ def q_hyperanf_k3(spark, sf_dir):
     )
 
 
+def q_hyperanf_stream_k3(spark, sf_dir):
+    """Same 3-hop HyperANF as hyperanf_k3 but through the fused slipstore
+    STREAM path (register-max kernel, chaos_spark.stream_algos) — verified
+    against the SAME limb-math DuckDB oracle, proving the max-semiring
+    stream kernel ≡ the join path to the driver."""
+    from .stream_algos import hyperanf_stream
+
+    e = part_edges(spark, sf_dir)
+    res = hyperanf_stream(spark, e, max_iters=3)
+    return res.state.select(
+        "id", F.round(F.element_at(F.col("nf"), -1), 4).alias("nf_final")
+    )
+
+
 def q_als_sweeps(spark, sf_dir):
     """ALS (rank 4, 2 sweeps) on the customer->supplier rating graph
     (avg line quantity as the rating) — rows-only (per-vertex normal-
@@ -1833,6 +1847,7 @@ QUERIES = {
     "msf": q_msf,
     "hyperanf": q_hyperanf,
     "hyperanf_k3": q_hyperanf_k3,
+    "hyperanf_stream_k3": q_hyperanf_stream_k3,
     "als_sweeps": q_als_sweeps,
     "bp_beliefs": q_bp_beliefs,
     "als_r1": q_als_r1,
@@ -1895,6 +1910,7 @@ ORACLES = {
     "als_r1": als_r1_sql(),
     "bp_k2": bp_sql(SQL_PART_EDGES),
     "hyperanf_k3": hyperanf_sql(SQL_PART_EDGES, 3),
+    "hyperanf_stream_k3": hyperanf_sql(SQL_PART_EDGES, 3),
     "minhash_sigs": SQL_MINHASH_SIGS,
     "lsh_near_dup": SQL_LSH_PAIRS,
     "lsh_jaccard": SQL_LSH_JACCARD,

@@ -286,3 +286,66 @@ def test_sssp_stream_resume_equals_uninterrupted(spark, tmp_path):
     )
     assert _dists(full) == _dists(res)
     assert res.supersteps == full.supersteps
+
+
+# ---------------------------------------------------------------------------
+# HyperANF register-max stream kernel — BIT-identical parity with
+# algos.hyperanf.hyper_anf (register max is order-free and idempotent;
+# the HLL estimate is the same elementwise float64 expression on the
+# same registers, so the nf curves compare with == — no tolerance).
+# ---------------------------------------------------------------------------
+
+def _nfs(res):
+    return {r["id"]: tuple(r["nf"]) for r in res.state.select("id", "nf").collect()}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_hyperanf_stream_equals_join_path(spark, name):
+    from chaos_spark.algos.hyperanf import hyper_anf
+    from chaos_spark.stream_algos import hyperanf_stream
+
+    edges = spark.createDataFrame(GRAPHS[name]())
+    r_join = hyper_anf(spark, edges, max_iters=25)
+    r_str = hyperanf_stream(spark, edges, max_iters=25)
+    assert _nfs(r_join) == _nfs(r_str)
+    assert r_str.supersteps == r_join.supersteps
+    assert r_str.converged == r_join.converged
+
+
+def test_hyperanf_stream_fixed_k_and_state_partitions(spark):
+    from chaos_spark.algos.hyperanf import hyper_anf
+    from chaos_spark.stream_algos import hyperanf_stream
+
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    r_join = hyper_anf(spark, edges, max_iters=3)
+    a = hyperanf_stream(spark, edges, max_iters=3)
+    b = hyperanf_stream(spark, edges, max_iters=3, state_partitions=2)
+    assert _nfs(r_join) == _nfs(a) == _nfs(b)
+    assert a.supersteps == r_join.supersteps
+
+
+def test_hyperanf_stream_resume_equals_uninterrupted(spark, tmp_path):
+    # The nf history rides the blob through the checkpoint: the resumed
+    # run's curves must carry the pre-checkpoint hops too.
+    from chaos_spark.stream_algos import hyperanf_stream
+
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    config = {"algo": "hyperanf_stream", "graph": "g4s9"}
+
+    full = hyperanf_stream(spark, edges, max_iters=25)
+
+    cp1 = CheckpointManager(str(tmp_path / "cp"), "hyperanf_stream", config)
+    part = hyperanf_stream(
+        spark, edges, max_iters=2, checkpointer=cp1, checkpoint_every=2,
+    )
+    assert part.supersteps == 2
+    assert cp1.latest() is not None and cp1.latest()["superstep"] == 2
+
+    cp2 = CheckpointManager(str(tmp_path / "cp"), "hyperanf_stream", config)
+    res = hyperanf_stream(
+        spark, edges, max_iters=25, checkpointer=cp2, checkpoint_every=2,
+    )
+    assert _nfs(full) == _nfs(res)
+    assert res.supersteps == full.supersteps
