@@ -84,12 +84,50 @@ def hyper_anf(
     max_iters: int = 50,
     seed: int = 42,
     num_partitions: int | None = None,
+    mode: str = "auto",
+    num_edges: int | None = None,
 ) -> RunResult:
     """Result ``state``: ``(id, nf)`` where ``nf`` is the array of
     neighborhood-function estimates [N(v,0), N(v,1), ..., N(v,H)];
-    ``history`` carries the per-hop global sum (the ANF curve)."""
+    ``history`` carries the per-hop global sum (the ANF curve).
+
+    ``mode="auto"`` (default) serves the call through the fused
+    register-max STREAM path (stream_algos.hyperanf_stream — bit-identical
+    nf curves, superstep count, and fixed point, see _HllMaxANF) from
+    csr.STREAM_AUTO_MIN_EDGES: ANF ships one 64-byte sketch per
+    symmetrized edge per superstep on the join path — the fattest
+    payload in the suite — where the stream path publishes one sketch
+    per distinct in-block dst. Measured at 64M edges local[8], 3 fixed
+    supersteps (scripts/hyperanf_stream_ab.py,
+    BENCH/hyperanf_stream_ab_64m.json): stream supersteps 12.8–17.2 s
+    vs join 94.3–163.3 s (7.4× wall), nf_diff 0. Below the crossover,
+    the warm-block registry still routes stream when another algorithm
+    (CC/LPA — same undirected flavor) already built this graph's blocks.
+    ``mode="join"``/``mode="stream"`` pin a path; ``num_edges``:
+    caller-known |E| skips the dispatch count."""
     from ..shipping import ensure_shipped
 
+    if mode not in ("auto", "join", "stream"):
+        raise ValueError(
+            f"unknown mode {mode!r} (expected 'auto', 'join' or 'stream')"
+        )
+    if mode != "join":
+        from ..csr import STREAM_AUTO_MIN_EDGES, _warm_blocks_ready, _warm_key
+        from ..stream_algos import hyperanf_stream
+
+        route_stream = mode == "stream"
+        if not route_stream:
+            ne = num_edges if num_edges is not None else edges.count()
+            route_stream = ne >= STREAM_AUTO_MIN_EDGES or (
+                _warm_blocks_ready(
+                    _warm_key(edges, True, None, num_partitions)
+                ) is not None
+            )
+        if route_stream:
+            return hyperanf_stream(
+                spark, edges, max_iters=max_iters, seed=seed,
+                num_partitions=num_partitions,
+            )
     ensure_shipped(spark)  # UDFs reference module fns on executors
     p = num_partitions or choose_num_partitions(spark, edges.count() * 2)
     with superstep_conf(spark, p):

@@ -349,3 +349,30 @@ def test_hyperanf_stream_resume_equals_uninterrupted(spark, tmp_path):
     )
     assert _nfs(full) == _nfs(res)
     assert res.supersteps == full.supersteps
+
+
+def test_hyperanf_auto_routes_stream_at_scale(spark, monkeypatch):
+    # With the many-superstep crossover lowered beneath the fixture size,
+    # algos.hyperanf.hyper_anf mode="auto" serves the call through the
+    # fused register-max stream path (observed via a spy) and still
+    # matches the pinned join path bit-for-bit.
+    import chaos_spark.csr as csr_mod
+    import chaos_spark.stream_algos as sa
+    from chaos_spark.algos.hyperanf import hyper_anf
+
+    monkeypatch.setattr(csr_mod, "STREAM_AUTO_MIN_EDGES", 1)
+    called = {}
+    orig = sa.hyperanf_stream
+
+    def spy(*a, **k):
+        called["stream"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sa, "hyperanf_stream", spy)
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    a = hyper_anf(spark, edges, max_iters=25)
+    assert called.get("stream")
+    b = hyper_anf(spark, edges, max_iters=25, mode="join")
+    assert _nfs(a) == _nfs(b)
+    assert a.supersteps == b.supersteps
