@@ -25,8 +25,45 @@ def k_core(
     k: int,
     max_iters: int = 100,
     num_partitions: int | None = None,
+    mode: str = "auto",
+    num_edges: int | None = None,
 ) -> RunResult:
-    """Vertices of the k-core; result state ``(id, in_core boolean)``."""
+    """Vertices of the k-core; result state ``(id, in_core boolean)``.
+
+    ``mode="auto"`` (default) serves the call through the fused
+    sum-semiring STREAM path (stream_algos.kcore_stream — exact same
+    per-superstep alive set and superstep count, see _KCorePeel) at or
+    above csr.CSR_AUTO_MIN_EDGES: each join-path superstep is TWO
+    shuffle joins (both-endpoints-alive filter) plus a groupBy where the
+    stream superstep is one blob pass, but peeling usually runs few
+    supersteps, so k-core keeps CC's conservative 1M cold crossover
+    (a cold block build isn't amortized below it). Below the crossover,
+    the warm-block registry still routes stream when this graph's
+    self-loop-free undirected blocks were already built.
+    ``mode="join"``/``mode="stream"`` pin a path; ``num_edges``:
+    caller-known |E| skips the dispatch count."""
+    if mode not in ("auto", "join", "stream"):
+        raise ValueError(
+            f"unknown mode {mode!r} (expected 'auto', 'join' or 'stream')"
+        )
+    if mode != "join":
+        from ..csr import CSR_AUTO_MIN_EDGES, _warm_blocks_ready, _warm_key
+        from ..stream_algos import _KCorePeel, kcore_stream
+
+        kern = _KCorePeel(k)
+        route_stream = mode == "stream"
+        if not route_stream:
+            ne = num_edges if num_edges is not None else edges.count()
+            route_stream = ne >= CSR_AUTO_MIN_EDGES or (
+                _warm_blocks_ready(_warm_key(
+                    kern.prep_edges(edges), True, None, num_partitions,
+                )) is not None
+            )
+        if route_stream:
+            return kcore_stream(
+                spark, edges, k, max_iters=max_iters,
+                num_partitions=num_partitions,
+            )
     p = num_partitions or choose_num_partitions(spark, edges.count() * 2)
     with superstep_conf(spark, p):
         return _k_core(spark, edges, k, max_iters, p)

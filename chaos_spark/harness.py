@@ -589,6 +589,19 @@ def q_kcore3(spark, sf_dir):
     return res.state.select("id", "in_core")
 
 
+def q_kcore3_stream(spark, sf_dir):
+    """Same 3-round k=3 peeling as kcore3 but through the fused slipstore
+    STREAM path (threshold-peel sum kernel, chaos_spark.stream_algos) —
+    verified against the SAME unrolled DuckDB oracle, proving the
+    sum-semiring + threshold-apply stream kernel ≡ the join path to the
+    driver."""
+    from .stream_algos import kcore_stream
+
+    e = part_edges(spark, sf_dir)
+    res = kcore_stream(spark, e, k=3, max_iters=3)
+    return res.state.select("id", "in_core")
+
+
 def q_spmv_acctbal(spark, sf_dir):
     e = cust_supp_edges(spark, sf_dir)
     cust = load(spark, sf_dir, "customer").select(
@@ -1832,6 +1845,7 @@ QUERIES = {
     "bfs_k4": q_bfs_k4,
     "bfs_stream_k4": q_bfs_stream_k4,
     "kcore3": q_kcore3,
+    "kcore3_stream": q_kcore3_stream,
     "spmv_acctbal": q_spmv_acctbal,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -1896,6 +1910,7 @@ ORACLES = {
     "bfs_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),
     "bfs_stream_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),
     "kcore3": kcore_sql(SQL_PART_EDGES, 3, 3),
+    "kcore3_stream": kcore_sql(SQL_PART_EDGES, 3, 3),
     "spmv_acctbal": SQL_SPMV,
     "dedup_exact": SQL_DEDUP,
     "token_stats": SQL_TOKEN_STATS,

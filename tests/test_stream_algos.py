@@ -376,3 +376,93 @@ def test_hyperanf_auto_routes_stream_at_scale(spark, monkeypatch):
     b = hyper_anf(spark, edges, max_iters=25, mode="join")
     assert _nfs(a) == _nfs(b)
     assert a.supersteps == b.supersteps
+
+
+# ---------------------------------------------------------------------------
+# K-core threshold-peel stream kernel — exact parity with
+# algos.kcores.k_core (integer degree counts over the surviving
+# subgraph; alive' = alive AND deg >= k; converged when nothing drops).
+# ---------------------------------------------------------------------------
+
+def _cores(res):
+    return {
+        r["id"]: r["in_core"]
+        for r in res.state.select("id", "in_core").collect()
+    }
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_stream_equals_join_path(spark, name, k):
+    from chaos_spark.algos.kcores import k_core
+    from chaos_spark.stream_algos import kcore_stream
+
+    edges = spark.createDataFrame(GRAPHS[name]())
+    r_join = k_core(spark, edges, k=k, max_iters=100, mode="join")
+    r_str = kcore_stream(spark, edges, k=k, max_iters=100)
+    assert _cores(r_join) == _cores(r_str)
+    assert r_str.supersteps == r_join.supersteps
+    assert r_str.converged == r_join.converged
+
+
+def test_kcore_stream_fixed_k_and_state_partitions(spark):
+    from chaos_spark.algos.kcores import k_core
+    from chaos_spark.stream_algos import kcore_stream
+
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    r_join = k_core(spark, edges, k=3, max_iters=3, mode="join")
+    a = kcore_stream(spark, edges, k=3, max_iters=3)
+    b = kcore_stream(spark, edges, k=3, max_iters=3, state_partitions=2)
+    assert _cores(r_join) == _cores(a) == _cores(b)
+    assert a.supersteps == r_join.supersteps
+
+
+def test_kcore_stream_resume_equals_uninterrupted(spark, tmp_path):
+    from chaos_spark.stream_algos import kcore_stream
+
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    config = {"algo": "kcore_stream", "k": 4, "graph": "g4s9"}
+
+    full = kcore_stream(spark, edges, k=4, max_iters=100)
+
+    cp1 = CheckpointManager(str(tmp_path / "cp"), "kcore_stream", config)
+    part = kcore_stream(
+        spark, edges, k=4, max_iters=2, checkpointer=cp1, checkpoint_every=2,
+    )
+    assert part.supersteps == 2
+    assert cp1.latest() is not None and cp1.latest()["superstep"] == 2
+
+    cp2 = CheckpointManager(str(tmp_path / "cp"), "kcore_stream", config)
+    res = kcore_stream(
+        spark, edges, k=4, max_iters=100, checkpointer=cp2, checkpoint_every=2,
+    )
+    assert _cores(full) == _cores(res)
+    assert res.supersteps == full.supersteps
+
+
+def test_kcore_auto_routes_stream_at_scale(spark, monkeypatch):
+    # With the crossover lowered beneath the fixture size, k_core
+    # mode="auto" serves the call through the fused threshold-peel stream
+    # path (observed via a spy) and still matches the pinned join path.
+    import chaos_spark.csr as csr_mod
+    import chaos_spark.stream_algos as sa
+    from chaos_spark.algos.kcores import k_core
+
+    monkeypatch.setattr(csr_mod, "CSR_AUTO_MIN_EDGES", 1)
+    called = {}
+    orig = sa.kcore_stream
+
+    def spy(*a, **k):
+        called["stream"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sa, "kcore_stream", spy)
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    a = k_core(spark, edges, k=3, max_iters=100)
+    assert called.get("stream")
+    b = k_core(spark, edges, k=3, max_iters=100, mode="join")
+    assert _cores(a) == _cores(b)
+    assert a.supersteps == b.supersteps
