@@ -35,7 +35,10 @@ def k_core(
     per-superstep alive set and superstep count, see _KCorePeel) at or
     above csr.CSR_AUTO_MIN_EDGES: each join-path superstep is TWO
     shuffle joins (both-endpoints-alive filter) plus a groupBy where the
-    stream superstep is one blob pass, but peeling usually runs few
+    stream superstep is one blob pass. Measured at 64M edges local[8],
+    3 fixed supersteps, k=8 (scripts/kcore_stream_ab.py,
+    BENCH/kcore_stream_ab_64m.json): stream supersteps 0.36–0.39 s vs
+    join 16.3–81.5 s (56× wall), in_core diff 0. Peeling still runs few
     supersteps, so k-core keeps CC's conservative 1M cold crossover
     (a cold block build isn't amortized below it). Below the crossover,
     the warm-block registry still routes stream when this graph's
