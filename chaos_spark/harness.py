@@ -796,6 +796,19 @@ def q_mis_r4(spark, sf_dir):
     return res.state.select("id", "in_set")
 
 
+def q_mis_stream_r4(spark, sf_dir):
+    """Same 4-round deterministic Luby MIS as mis_r4 but through the fused
+    slipstore STREAM path (two supersteps per round, round/phase riding
+    the blob, chaos_spark.stream_algos._LubyMIS) — verified against the
+    SAME unrolled DuckDB oracle, proving the two-phase stream kernel ≡
+    the join path to the driver."""
+    from .stream_algos import mis_stream
+
+    e = part_edges(spark, sf_dir)
+    res = mis_stream(spark, e, max_iters=8)
+    return res.state.select("id", "in_set")
+
+
 def q_bipartite_k6(spark, sf_dir):
     from .algos import bipartite_check
 
@@ -1856,6 +1869,7 @@ QUERIES = {
     "import_graph_edges": q_import_graph_edges,
     # stretch graph algorithms
     "mis_r4": q_mis_r4,
+    "mis_stream_r4": q_mis_stream_r4,
     "bipartite_k6": q_bipartite_k6,
     "scc": q_scc,
     "msf": q_msf,
@@ -1918,6 +1932,7 @@ ORACLES = {
     "lang_dist": SQL_LANG_DIST,
     "ann_topk": SQL_ANN_TOPK,
     "mis_r4": mis_sql(SQL_PART_EDGES, 4),
+    "mis_stream_r4": mis_sql(SQL_PART_EDGES, 4),
     "bipartite_k6": bipartite_sql(SQL_PART_EDGES, 6),
     "msf": boruvka_sql(SQL_PART_EDGES),
     "scc": scc_sql(SQL_PART_EDGES),

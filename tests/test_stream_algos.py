@@ -466,3 +466,114 @@ def test_kcore_auto_routes_stream_at_scale(spark, monkeypatch):
     b = k_core(spark, edges, k=3, max_iters=100, mode="join")
     assert _cores(a) == _cores(b)
     assert a.supersteps == b.supersteps
+
+
+# ---------------------------------------------------------------------------
+# Luby MIS two-phase stream kernel — final-set parity with algos.mis
+# (identical deterministic priorities; 2 stream supersteps per Luby
+# round, so superstep counts relate as 2R-1 or 2R, never compare equal).
+# ---------------------------------------------------------------------------
+
+def _sets(res):
+    return {
+        r["id"]: r["in_set"]
+        for r in res.state.select("id", "in_set").collect()
+    }
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_mis_stream_equals_join_path(spark, name):
+    from chaos_spark.algos.mis import maximal_independent_set
+    from chaos_spark.stream_algos import mis_stream
+
+    edges = spark.createDataFrame(GRAPHS[name]())
+    r_join = maximal_independent_set(spark, edges, max_iters=50, mode="join")
+    r_str = mis_stream(spark, edges, max_iters=100)
+    assert _sets(r_join) == _sets(r_str)
+    assert r_str.converged == r_join.converged
+    assert r_str.supersteps in (
+        2 * r_join.supersteps - 1, 2 * r_join.supersteps
+    )
+
+
+def test_mis_stream_self_loops_and_isolated_vertex(spark):
+    # The join path keeps self-loop-only vertices in the UNIVERSE (they
+    # join the IS) while dropping self-loops from the ADJACENCY; the
+    # stream kernel must reproduce both via in-kernel masking over blocks
+    # that keep the loops.
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "src": [0, 1, 2, 2, 7, 3, 4],
+        "dst": [1, 2, 3, 2, 7, 4, 0],
+    })
+    edges = spark.createDataFrame(pdf)
+    from chaos_spark.algos.mis import maximal_independent_set
+    from chaos_spark.stream_algos import mis_stream
+
+    r_join = maximal_independent_set(spark, edges, max_iters=50, mode="join")
+    r_str = mis_stream(spark, edges, max_iters=100)
+    s = _sets(r_str)
+    assert s == _sets(r_join)
+    assert s[7] is True  # self-loop-only vertex: isolated, joins the IS
+
+
+def test_mis_stream_truncated_rounds_and_state_partitions(spark):
+    from chaos_spark.algos.mis import maximal_independent_set
+    from chaos_spark.stream_algos import mis_stream
+
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    r_join = maximal_independent_set(spark, edges, max_iters=2, mode="join")
+    a = mis_stream(spark, edges, max_iters=4)
+    b = mis_stream(spark, edges, max_iters=4, state_partitions=2)
+    assert _sets(r_join) == _sets(a) == _sets(b)
+
+
+def test_mis_stream_resume_equals_uninterrupted(spark, tmp_path):
+    # checkpoint_every=3 lands a resume point MID-ROUND (phase 1): the
+    # round/phase words riding the blob must restore the exact state
+    # machine position.
+    from chaos_spark.stream_algos import mis_stream
+
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    config = {"algo": "mis_stream", "graph": "g4s9"}
+
+    full = mis_stream(spark, edges, max_iters=100)
+
+    cp1 = CheckpointManager(str(tmp_path / "cp"), "mis_stream", config)
+    part = mis_stream(
+        spark, edges, max_iters=3, checkpointer=cp1, checkpoint_every=3,
+    )
+    assert part.supersteps == 3
+    assert cp1.latest() is not None and cp1.latest()["superstep"] == 3
+
+    cp2 = CheckpointManager(str(tmp_path / "cp"), "mis_stream", config)
+    res = mis_stream(
+        spark, edges, max_iters=100, checkpointer=cp2, checkpoint_every=3,
+    )
+    assert _sets(full) == _sets(res)
+    assert res.supersteps == full.supersteps
+
+
+def test_mis_auto_routes_stream_at_scale(spark, monkeypatch):
+    import chaos_spark.csr as csr_mod
+    import chaos_spark.stream_algos as sa
+    from chaos_spark.algos.mis import maximal_independent_set
+
+    monkeypatch.setattr(csr_mod, "CSR_AUTO_MIN_EDGES", 1)
+    called = {}
+    orig = sa.mis_stream
+
+    def spy(*a, **k):
+        called["stream"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sa, "mis_stream", spy)
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    a = maximal_independent_set(spark, edges, max_iters=50)
+    assert called.get("stream")
+    b = maximal_independent_set(spark, edges, max_iters=50, mode="join")
+    assert _sets(a) == _sets(b)
