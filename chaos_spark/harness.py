@@ -820,6 +820,22 @@ def q_bipartite_k6(spark, sf_dir):
     )
 
 
+def q_bipartite_stream_k6(spark, sf_dir):
+    """Same 6-superstep BFS-parity 2-coloring as bipartite_k6 but through
+    the fused slipstore STREAM path (packed (root, dist) lexmin kernel,
+    chaos_spark.stream_algos._ParityBFS) — verified against the SAME
+    unrolled DuckDB oracle, proving the packed-lexmin stream kernel ≡
+    the join path to the driver."""
+    from .stream_algos import bipartite_stream
+
+    e = part_edges(spark, sf_dir)
+    res = bipartite_stream(spark, e, max_iters=6)
+    return res.state.select(
+        "id", "root", F.col("dist").cast("long").alias("dist"),
+        (F.col("dist") % 2).cast("long").alias("color"),
+    )
+
+
 def q_scc(spark, sf_dir):
     """FB-coloring SCC to convergence — VALUE-verified (r3 verdict item
     5): SCC membership is definitional (mutual reachability), so instead
@@ -1871,6 +1887,7 @@ QUERIES = {
     "mis_r4": q_mis_r4,
     "mis_stream_r4": q_mis_stream_r4,
     "bipartite_k6": q_bipartite_k6,
+    "bipartite_stream_k6": q_bipartite_stream_k6,
     "scc": q_scc,
     "msf": q_msf,
     "hyperanf": q_hyperanf,
@@ -1934,6 +1951,7 @@ ORACLES = {
     "mis_r4": mis_sql(SQL_PART_EDGES, 4),
     "mis_stream_r4": mis_sql(SQL_PART_EDGES, 4),
     "bipartite_k6": bipartite_sql(SQL_PART_EDGES, 6),
+    "bipartite_stream_k6": bipartite_sql(SQL_PART_EDGES, 6),
     "msf": boruvka_sql(SQL_PART_EDGES),
     "scc": scc_sql(SQL_PART_EDGES),
     "import_graph_edges": import_graph_sql(),

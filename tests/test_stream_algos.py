@@ -577,3 +577,105 @@ def test_mis_auto_routes_stream_at_scale(spark, monkeypatch):
     assert called.get("stream")
     b = maximal_independent_set(spark, edges, max_iters=50, mode="join")
     assert _sets(a) == _sets(b)
+
+
+# ---------------------------------------------------------------------------
+# Bipartiteness packed-lexmin stream kernel — exact parity with
+# algos.bipartite (pack(root, dist) int64 order ≡ struct(root, dist)
+# lexmin; message = label + 1; same odd-edge conflict count).
+# ---------------------------------------------------------------------------
+
+def _colorings(res):
+    return {
+        r["id"]: (r["root"], r["dist"], r["color"])
+        for r in res.state.select("id", "root", "dist", "color").collect()
+    }
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_bipartite_stream_equals_join_path(spark, name):
+    from chaos_spark.algos.bipartite import bipartite_check
+    from chaos_spark.stream_algos import bipartite_stream
+
+    edges = spark.createDataFrame(GRAPHS[name]())
+    r_join = bipartite_check(spark, edges, max_iters=200, mode="join")
+    r_str = bipartite_stream(spark, edges, max_iters=200)
+    assert _colorings(r_join) == _colorings(r_str)
+    assert r_str.supersteps == r_join.supersteps
+    assert r_str.history[-1]["odd_edges"] == r_join.history[-1]["odd_edges"]
+    assert r_str.history[-1]["bipartite"] == r_join.history[-1]["bipartite"]
+
+
+def test_bipartite_stream_verdicts(spark):
+    # chain = bipartite (0 odd edges); two triangles bridged = odd cycles.
+    from chaos_spark.stream_algos import bipartite_stream
+
+    chain = bipartite_stream(
+        spark, spark.createDataFrame(g1_chain()), max_iters=200
+    )
+    assert chain.history[-1]["bipartite"] is True
+    cliq = bipartite_stream(
+        spark, spark.createDataFrame(g3_cliques()), max_iters=200
+    )
+    assert cliq.history[-1]["odd_edges"] > 0
+
+
+def test_bipartite_stream_fixed_k_and_state_partitions(spark):
+    from chaos_spark.algos.bipartite import bipartite_check
+    from chaos_spark.stream_algos import bipartite_stream
+
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    r_join = bipartite_check(spark, edges, max_iters=6, mode="join")
+    a = bipartite_stream(spark, edges, max_iters=6)
+    b = bipartite_stream(spark, edges, max_iters=6, state_partitions=2)
+    assert _colorings(r_join) == _colorings(a) == _colorings(b)
+    assert a.supersteps == r_join.supersteps
+
+
+def test_bipartite_stream_resume_equals_uninterrupted(spark, tmp_path):
+    from chaos_spark.stream_algos import bipartite_stream
+
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    config = {"algo": "bipartite_stream", "graph": "g4s9"}
+
+    full = bipartite_stream(spark, edges, max_iters=200)
+
+    cp1 = CheckpointManager(str(tmp_path / "cp"), "bipartite_stream", config)
+    part = bipartite_stream(
+        spark, edges, max_iters=2, checkpointer=cp1, checkpoint_every=2,
+    )
+    assert part.supersteps == 2
+    assert cp1.latest() is not None and cp1.latest()["superstep"] == 2
+
+    cp2 = CheckpointManager(str(tmp_path / "cp"), "bipartite_stream", config)
+    res = bipartite_stream(
+        spark, edges, max_iters=200, checkpointer=cp2, checkpoint_every=2,
+    )
+    assert _colorings(full) == _colorings(res)
+    assert res.supersteps == full.supersteps
+    assert res.history[-1]["odd_edges"] == full.history[-1]["odd_edges"]
+
+
+def test_bipartite_auto_routes_stream_at_scale(spark, monkeypatch):
+    import chaos_spark.csr as csr_mod
+    import chaos_spark.stream_algos as sa
+    from chaos_spark.algos.bipartite import bipartite_check
+
+    monkeypatch.setattr(csr_mod, "CSR_AUTO_MIN_EDGES", 1)
+    called = {}
+    orig = sa.bipartite_stream
+
+    def spy(*a, **k):
+        called["stream"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sa, "bipartite_stream", spy)
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    a = bipartite_check(spark, edges, max_iters=200)
+    assert called.get("stream")
+    b = bipartite_check(spark, edges, max_iters=200, mode="join")
+    assert _colorings(a) == _colorings(b)
+    assert a.supersteps == b.supersteps
