@@ -98,6 +98,38 @@ def _broadcast_max_vertices(spark) -> int:
     )
 
 
+def _init_state(verts, deg, n, p, init_ranks=None) -> DataFrame:
+    """Initial ``(id, out_degree, rank)`` state for both join regimes.
+
+    ``init_ranks`` (columns ``id, rank``) warm-starts the run: prior
+    ranks are taken verbatim; vertices absent from the prior start at
+    1/n. No renormalization is applied — each superstep re-injects
+    ``(1-d)/n`` plus the dangling share, so total mass contracts to 1
+    geometrically (factor d) even when the prior's mass is off, and on
+    an UNCHANGED graph the continuation is exact: warm(cold-k state) +
+    j supersteps ≡ cold k+j supersteps, which is how the driver oracle
+    verifies it. This is the incremental-ingest handoff (streaming.py):
+    re-rank a grown import graph from the last converged ranks instead
+    of uniform, paying only the marginal supersteps.
+    """
+    base = verts.join(deg, verts[ID] == deg[ID], "left").select(
+        verts[ID],
+        F.coalesce(deg["out_degree"], F.lit(0)).alias("out_degree"),
+    )
+    if init_ranks is None:
+        st = base.select(ID, "out_degree", F.lit(1.0 / n).alias("rank"))
+    else:
+        prior = init_ranks.select(
+            F.col(ID).alias("_pid"), F.col("rank").cast("double").alias("_prank")
+        )
+        st = base.join(prior, base[ID] == F.col("_pid"), "left").select(
+            base[ID],
+            base["out_degree"],
+            F.coalesce(F.col("_prank"), F.lit(1.0 / n)).alias("rank"),
+        )
+    return materialize(st.repartition(p, F.col(ID)))
+
+
 def pagerank(
     spark: SparkSession,
     edges: DataFrame,
@@ -112,6 +144,7 @@ def pagerank(
     mode: str = "auto",
     weight_col: str | None = None,
     num_edges: int | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> RunResult:
     """Run PageRank to L-inf convergence < ``tol``; returns RunResult whose
     ``state`` has columns ``(id, out_degree, rank)``.
@@ -130,6 +163,11 @@ def pagerank(
     ``num_edges``: caller-known |E| (skips one counting scan when the
     caller already materialized the edge table — every algo entry point
     accepts this; see VERDICT r2 item 7).
+
+    ``init_ranks``: warm-start from a prior ``(id, rank)`` frame (e.g.
+    the last converged run before the streaming lane grew the graph) —
+    see ``_init_state`` for the exact semantics and why no
+    renormalization is needed.
 
     ``mode``:
     - ``"shuffle"`` — scatter join + exchange from groupBy(dst): the
@@ -163,11 +201,12 @@ def pagerank(
         if mode == "broadcast" and hub_threshold is None:
             return _pagerank_broadcast(
                 spark, edges, damping, tol, max_iters, p,
-                checkpointer, checkpoint_every, weight_col,
+                checkpointer, checkpoint_every, weight_col, init_ranks,
             )
         return _pagerank(
             spark, edges, damping, tol, max_iters, p, checkpointer,
             checkpoint_every, hub_threshold, salt_buckets, weight_col,
+            init_ranks,
         )
 
 
@@ -199,7 +238,7 @@ def _prep_weighted(edges, weight_col: str):
 
 def _pagerank_broadcast(
     spark, edges, damping, tol, max_iters, p, checkpointer, checkpoint_every,
-    weight_col=None,
+    weight_col=None, init_ranks=None,
 ) -> RunResult:
     """Zero-shuffle superstep: edges hash-partitioned on dst ONCE; the
     sender vector (id, rank/outdeg) is broadcast; groupBy(dst) reuses the
@@ -226,15 +265,7 @@ def _pagerank_broadcast(
         deg = out_degrees(e)
 
     def init() -> DataFrame:
-        return materialize(
-            verts.join(deg, verts[ID] == deg[ID], "left")
-            .select(
-                verts[ID],
-                F.coalesce(deg["out_degree"], F.lit(0)).alias("out_degree"),
-                F.lit(1.0 / n).alias("rank"),
-            )
-            .repartition(p, F.col(ID))
-        )
+        return _init_state(verts, deg, n, p, init_ranks)
 
     state, start = resume_or_init(spark, checkpointer, init)
 
@@ -291,6 +322,7 @@ def _pagerank_broadcast(
 def _pagerank(
     spark, edges, damping, tol, max_iters, p, checkpointer,
     checkpoint_every, hub_threshold, salt_buckets, weight_col=None,
+    init_ranks=None,
 ) -> RunResult:
     weighted = weight_col is not None
     if weighted:
@@ -315,15 +347,7 @@ def _pagerank(
         deg = out_degrees(e)
 
     def init() -> DataFrame:
-        return materialize(
-            verts.join(deg, verts[ID] == deg[ID], "left")
-            .select(
-                verts[ID],
-                F.coalesce(deg["out_degree"], F.lit(0)).alias("out_degree"),
-                F.lit(1.0 / n).alias("rank"),
-            )
-            .repartition(p, F.col(ID))
-        )
+        return _init_state(verts, deg, n, p, init_ranks)
 
     state, start = resume_or_init(spark, checkpointer, init)
 

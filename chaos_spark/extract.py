@@ -103,20 +103,16 @@ def path_index(corpus: DataFrame) -> DataFrame:
     )
 
 
-def resolve_references(
-    refs: DataFrame, corpus: DataFrame, broadcast_index: bool = False
+def resolve_against_index(
+    refs: DataFrame, idx: DataFrame, broadcast_index: bool = False
 ) -> tuple[DataFrame, DataFrame]:
-    """Join raw references against the path index.
+    """Join raw references against an already-built ``path_index`` frame.
 
-    Returns ``(edges, unresolved)`` where edges = (repo, src_path,
-    dst_path) deduplicated and unresolved = (repo, src_path, dst_stem)
-    rows whose target does not exist (dropped, counted by the caller).
-
-    ``broadcast_index``: hint the path index into a broadcast hash join —
-    right at sampled tiers (index = one row per file); at 10^12 files the
-    index is NOT broadcastable and the shuffle join is the correct plan.
+    Shared by the batch pipeline (``resolve_references``) and the
+    Structured-Streaming incremental resolver (``streaming.py``), which
+    joins delta-refs/delta-index slices instead of the whole corpus —
+    both paths get the identical resolution semantics from this one join.
     """
-    idx = path_index(corpus)
     if broadcast_index:
         idx = F.broadcast(idx)
     joined = refs.join(
@@ -133,6 +129,22 @@ def resolve_references(
         "repo", "src_path", "dst_stem"
     )
     return edges, unresolved
+
+
+def resolve_references(
+    refs: DataFrame, corpus: DataFrame, broadcast_index: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Join raw references against the path index.
+
+    Returns ``(edges, unresolved)`` where edges = (repo, src_path,
+    dst_path) deduplicated and unresolved = (repo, src_path, dst_stem)
+    rows whose target does not exist (dropped, counted by the caller).
+
+    ``broadcast_index``: hint the path index into a broadcast hash join —
+    right at sampled tiers (index = one row per file); at 10^12 files the
+    index is NOT broadcastable and the shuffle join is the correct plan.
+    """
+    return resolve_against_index(refs, path_index(corpus), broadcast_index)
 
 
 BROADCAST_CORPUS_MAX_FILES = 2_000_000  # index/vertex map ~100 MB at this size

@@ -380,6 +380,22 @@ def q_pagerank_resume_k5(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_pagerank_warm_k5(spark, sf_dir):
+    """Warm-start through the driver VALUE gate: run 3 cold supersteps,
+    hand the resulting (id, rank) frame to a NEW pagerank call as
+    ``init_ranks``, run 2 more — verified against the SAME unrolled-CTE
+    oracle as pagerank_k5. Proves the incremental-ingest handoff
+    (streaming lane grows the graph -> re-rank from prior converged
+    ranks) is an exact continuation, not an approximation."""
+    e = cust_supp_edges(spark, sf_dir)
+    cold3 = pagerank(spark, e, damping=D, tol=0.0, max_iters=3)
+    res = pagerank(
+        spark, e, damping=D, tol=0.0, max_iters=2,
+        init_ranks=cold3.state.select("id", "rank"),
+    )
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_cc_csr_k(spark, sf_dir):
     """CC to convergence via the CSR kernel; exact (min is order-free),
     same fixed point as the unrolled-k oracle for any k >= diameter —
@@ -1507,6 +1523,34 @@ def q_import_graph_edges(spark, sf_dir):
     return edges.select("repo", "src_path", "dst_path")
 
 
+def q_import_graph_stream(spark, sf_dir):
+    """The SAME import graph as ``import_graph_edges``, but maintained
+    INCREMENTALLY by the Structured-Streaming ingest lane
+    (chaos_spark/streaming.py): the corpus is written as many small
+    parquet files, drained through ``foreachBatch`` micro-batches
+    (maxFilesPerTrigger=4 forces cross-batch reference resolution), and
+    the delta algebra ΔE = ΔR⋈I_all ∪ R_old⋈ΔI folds each batch into the
+    maintained edge set. Verified against the identical DuckDB oracle as
+    the batch lane — arrival order must not change the edge SET."""
+    import shutil
+    import tempfile
+
+    from .streaming import ingest_corpus_stream, read_edges
+
+    corpus = _import_corpus(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="chaos_stream_q_")
+    try:
+        src_dir, work_dir = f"{base}/src", f"{base}/work"
+        corpus.repartition(16).write.mode("overwrite").parquet(src_dir)
+        res = ingest_corpus_stream(spark, src_dir, work_dir, max_files_per_trigger=4)
+        assert res.batches_run >= 3, "micro-batching did not engage"
+        out = read_edges(spark, work_dir).select("repo", "src_path", "dst_path")
+        # Sever lineage from the maintained parquet before removing it.
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _IMPORT_STRIP_EXT_SQL = r"\.(?:py|h|hpp|c|cc|java|js|jsx|ts)$"
 
 
@@ -1882,7 +1926,9 @@ QUERIES = {
     "lang_dist": q_lang_dist,
     "ann_topk": q_ann_topk,
     "pagerank_converged": q_pagerank_converged,
+    "pagerank_warm_k5": q_pagerank_warm_k5,
     "import_graph_edges": q_import_graph_edges,
+    "import_graph_stream": q_import_graph_stream,
     # stretch graph algorithms
     "mis_r4": q_mis_r4,
     "mis_stream_r4": q_mis_stream_r4,
@@ -1925,6 +1971,7 @@ ORACLES = {
     "pagerank_csr_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "pagerank_stream_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "pagerank_resume_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
+    "pagerank_warm_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "cc_k6": cc_sql(SQL_PART_EDGES, 6),
     "cc_csr_k6": cc_sql(SQL_PART_EDGES, 6),
     "cc_stream_k6": cc_sql(SQL_PART_EDGES, 6),
@@ -1955,6 +2002,7 @@ ORACLES = {
     "msf": boruvka_sql(SQL_PART_EDGES),
     "scc": scc_sql(SQL_PART_EDGES),
     "import_graph_edges": import_graph_sql(),
+    "import_graph_stream": import_graph_sql(),
     "als_r1": als_r1_sql(),
     "bp_k2": bp_sql(SQL_PART_EDGES),
     "hyperanf_k3": hyperanf_sql(SQL_PART_EDGES, 3),

@@ -1,0 +1,216 @@
+"""Structured-Streaming ingest lane: a growing source-code corpus ->
+an incrementally-maintained import graph.
+
+Chaos/X-Stream are batch engines over a fixed edge file ([C15] §3,
+[X13] §3: the graph is prepared once, then streamed every superstep).
+The north rule's corpus, though, is 10^12 source files that keep
+arriving (new repos, new commits). This module is the Spark-first
+answer: the SAME vectorized extraction the batch lane uses
+(``extract.extract_references`` — mapInPandas, compiled multiline
+regexes, no per-row Python) lifted onto Structured Streaming, with the
+import-graph resolution join maintained *incrementally* per micro-batch.
+
+Why ``foreachBatch`` and not a stream-stream join
+-------------------------------------------------
+Resolution is a self-join of the corpus stream: an import in file A
+references file B, and A may arrive an unbounded interval before OR
+after B. A watermarked stream-stream join cannot express that (state
+would have to be retained forever on both sides). The standard Spark
+pattern for unbounded-state incremental joins is ``foreachBatch`` +
+delta algebra over batch tables, which is what we do:
+
+    R_all = union of extracted refs over all batches   (repo, src_path, dst_stem)
+    I_all = union of path-index rows over all batches  (repo, stem, path)
+    E     = resolve(R_all, I_all)                       (repo, src_path, dst_path)
+
+Per micro-batch ``b`` with new refs ΔR and new index rows ΔI::
+
+    ΔE(b) = resolve(ΔR, I_old ∪ ΔI)  ∪  resolve(R_old, ΔI)
+
+*Completeness*: every (ref r, index i) pair is examined exactly once —
+in the batch of r if r arrives with-or-after i (term 1), else in the
+batch of i (term 2). A ref that is unresolvable today resolves the
+moment its target arrives (term 2), with no retry loop. *No duplicates
+across batches*: the two terms partition pairs by which side is the
+delta, each file's content arrives in exactly one batch (append-only
+corpus; (repo, path) unique — a re-commit lane would need retractions
+and is out of scope here), so a given (r, i) pair exists in exactly one
+ΔE(b); per-batch ``.distinct()`` inside ``resolve_against_index``
+collapses duplicate import lines within a file.
+
+Exactly-once / replay
+---------------------
+The file source checkpoints batch->file assignment; ``foreachBatch``
+may replay a batch after a crash. Every write here is a deterministic
+function of (batch content, strictly-older batches) into a
+``batch_id=<b>`` partition directory written with mode="overwrite",
+and state reads always filter ``batch_id < b`` — a replay simply
+rewrites identical bytes. The ``batch_id`` partition column doubles as
+per-batch lineage (which micro-batch contributed which edges/refs),
+mirroring the per-partition lineage the checkpoint manifest records for
+superstep state ([BJ] north_rule).
+
+Scale shape (10^12 files)
+-------------------------
+Per-batch cost is Δ-proportional: term 1 joins the (small) ΔR against
+I_all — a shuffle hash join whose index side is a column-pruned parquet
+scan of 3 string columns; term 2 BROADCASTS ΔI (one row per *new* file,
+small per batch no matter how large history grows) against R_old, so
+the unbounded historical side is never shuffled, only scanned with
+column pruning. No step ever re-reads corpus *content* — only the
+3-column refs/index residues.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType, StructField, StringType
+
+from .extract import extract_references, path_index, resolve_against_index
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+_REFS, _INDEX, _EDGES, _CKPT = "refs", "index", "edges", "_checkpoint"
+
+
+@dataclass
+class IngestResult:
+    """Paths of the maintained tables + how many micro-batches ran."""
+
+    edges_dir: str
+    refs_dir: str
+    index_dir: str
+    batches_run: int
+
+
+def _part_dir(root: str, batch_id: int) -> str:
+    return os.path.join(root, f"batch_id={batch_id}")
+
+
+def _read_history(
+    spark: SparkSession, root: str, before_batch: int, schema: str
+) -> DataFrame:
+    """All rows from batches strictly older than ``before_batch``.
+
+    ``basePath`` keeps the batch_id partition column visible so the
+    filter prunes partitions at the file-listing level (no stale-replay
+    rows and no scan of the current batch's half-written attempt).
+    """
+    if not os.path.isdir(root) or not any(
+        e.startswith("batch_id=") for e in os.listdir(root)
+    ):
+        return spark.createDataFrame([], schema + ", batch_id long")
+    return (
+        spark.read.option("basePath", root)
+        .parquet(root)
+        .where(F.col("batch_id") < F.lit(before_batch))
+    )
+
+
+def _ingest_batch(batch_df: DataFrame, batch_id: int, work_dir: str) -> None:
+    """One micro-batch of the incremental resolver (see module docstring)."""
+    spark = batch_df.sparkSession
+    refs_dir = os.path.join(work_dir, _REFS)
+    index_dir = os.path.join(work_dir, _INDEX)
+    edges_dir = os.path.join(work_dir, _EDGES)
+
+    batch_df = batch_df.persist()
+    refs_new = idx_new = None
+    try:
+        refs_new = extract_references(batch_df).distinct().persist()
+        idx_new = path_index(batch_df).distinct().persist()
+
+        refs_old = _read_history(
+            spark, refs_dir, batch_id, "repo string, src_path string, dst_stem string"
+        ).select("repo", "src_path", "dst_stem")
+        idx_old = _read_history(
+            spark,
+            index_dir,
+            batch_id,
+            "_idx_repo string, _idx_stem string, _idx_path string",
+        ).select("_idx_repo", "_idx_stem", "_idx_path")
+
+        # ΔR ⋈ (I_old ∪ ΔI): delta refs against the full index.
+        e1, _ = resolve_against_index(refs_new, idx_old.unionByName(idx_new))
+        # R_old ⋈ ΔI: history refs against ONLY the delta index, broadcast —
+        # the unbounded side is scanned (3 columns), never shuffled.
+        e2, _ = resolve_against_index(refs_old, idx_new, broadcast_index=True)
+        edges_new = e1.unionByName(e2).distinct()
+
+        # Deterministic per-batch partition dirs; overwrite => replay-safe.
+        edges_new.write.mode("overwrite").parquet(_part_dir(edges_dir, batch_id))
+        refs_new.write.mode("overwrite").parquet(_part_dir(refs_dir, batch_id))
+        idx_new.write.mode("overwrite").parquet(_part_dir(index_dir, batch_id))
+    finally:
+        batch_df.unpersist()
+        for df in (refs_new, idx_new):
+            if df is not None:
+                df.unpersist()
+
+
+def ingest_corpus_stream(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> IngestResult:
+    """Drain everything currently in ``source_dir`` through the
+    incremental resolver, then stop (``Trigger.AvailableNow``).
+
+    Call again after more corpus files land — the checkpoint under
+    ``work_dir`` makes the file source pick up only the new arrivals, and
+    the delta algebra folds them into the maintained edge set. With
+    ``max_files_per_trigger`` set, even a single drain is split into
+    multiple micro-batches (AvailableNow respects source rate limits),
+    which is how the tests and the driver query exercise cross-batch
+    reference resolution deterministically.
+    """
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+
+    ran = {"n": 0}
+
+    def process(bdf: DataFrame, bid: int) -> None:
+        _ingest_batch(bdf, bid, work_dir)
+        ran["n"] += 1
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work_dir, _CKPT))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return IngestResult(
+        edges_dir=os.path.join(work_dir, _EDGES),
+        refs_dir=os.path.join(work_dir, _REFS),
+        index_dir=os.path.join(work_dir, _INDEX),
+        batches_run=ran["n"],
+    )
+
+
+def read_edges(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The maintained import-graph edge table (repo, src_path, dst_path).
+
+    Per-batch lineage rides along as the ``batch_id`` partition column;
+    it is dropped here because the edge SET is the product — identical
+    whatever the arrival order (module docstring algebra).
+    """
+    return (
+        spark.read.option("basePath", os.path.join(work_dir, _EDGES))
+        .parquet(os.path.join(work_dir, _EDGES))
+        .select("repo", "src_path", "dst_path")
+    )

@@ -136,3 +136,45 @@ def test_pagerank_weighted_rejects_bad_weights(spark):
     edges2 = spark.createDataFrame(rows2, "src long, dst long, weight double")
     with _pytest.raises(ValueError, match="strictly positive"):
         pagerank(spark, edges2, max_iters=2, weight_col="weight")
+
+
+def test_pagerank_warm_start_continues_exactly(spark):
+    """warm(cold-k3 state) + 2 supersteps == cold k5 (both regimes).
+
+    This is the incremental-ingest handoff contract: re-ranking from a
+    prior run's ranks is a pure continuation on an unchanged graph."""
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    for mode in ("shuffle", "broadcast"):
+        cold3 = pagerank(spark, edges, tol=0.0, max_iters=3, mode=mode)
+        warm = pagerank(
+            spark, edges, tol=0.0, max_iters=2, mode=mode,
+            init_ranks=cold3.state.select("id", "rank"),
+        )
+        cold5 = pagerank(spark, edges, tol=0.0, max_iters=5, mode=mode)
+        a = {r["id"]: r["rank"] for r in warm.state.collect()}
+        b = {r["id"]: r["rank"] for r in cold5.state.collect()}
+        assert set(a) == set(b)
+        assert max(abs(a[v] - b[v]) for v in a) < 1e-12, mode
+
+
+def test_pagerank_warm_start_new_vertices_and_mass_correction(spark):
+    """On a GROWN graph, vertices absent from the prior start at 1/n and
+    total mass contracts back to 1 (no renormalization needed)."""
+    pdf = g3_cliques()
+    grown = spark.createDataFrame(pdf)
+    # prior ranks from a subgraph, deliberately NOT summing to 1 on the
+    # grown vertex set
+    sub = spark.createDataFrame(pdf.iloc[: len(pdf) // 2])
+    prior = pagerank(spark, sub, tol=0.0, max_iters=3).state.select("id", "rank")
+    res = pagerank(spark, grown, tol=1e-9, max_iters=500, init_ranks=prior)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    from tests.oracles import pagerank_oracle
+
+    want = pagerank_oracle(pdf)
+    assert set(got) == set(want)
+    assert max(abs(got[v] - want[v]) for v in want) < 1e-6
+    # mass excess contracts by d per superstep; at L-inf < 1e-9 a ~1e-8
+    # residual is expected — the oracle match above is the real check
+    assert abs(sum(got.values()) - 1.0) < 1e-6
