@@ -98,6 +98,30 @@ def _part_dir(root: str, batch_id: int) -> str:
     return os.path.join(root, f"batch_id={batch_id}")
 
 
+def _has_batch_dirs(spark: SparkSession, root: str) -> bool:
+    """True iff ``root`` holds at least one ``batch_id=`` partition dir.
+
+    Goes through the Hadoop FileSystem API so the maintained tables can
+    live on any shared storage (HDFS/S3/local) — the same shared-storage
+    assumption the stream path's update files make. Local-path fallback
+    keeps the check working where no JVM gateway FS is reachable.
+    """
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(root)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return False
+        return any(
+            st.getPath().getName().startswith("batch_id=")
+            for st in fs.listStatus(jpath)
+        )
+    except Exception:
+        return os.path.isdir(root) and any(
+            e.startswith("batch_id=") for e in os.listdir(root)
+        )
+
+
 def _read_history(
     spark: SparkSession, root: str, before_batch: int, schema: str
 ) -> DataFrame:
@@ -107,9 +131,7 @@ def _read_history(
     filter prunes partitions at the file-listing level (no stale-replay
     rows and no scan of the current batch's half-written attempt).
     """
-    if not os.path.isdir(root) or not any(
-        e.startswith("batch_id=") for e in os.listdir(root)
-    ):
+    if not _has_batch_dirs(spark, root):
         return spark.createDataFrame([], schema + ", batch_id long")
     return (
         spark.read.option("basePath", root)
