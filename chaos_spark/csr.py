@@ -840,6 +840,7 @@ def pagerank_csr(
     mode: str = "auto",
     num_edges: int | None = None,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> RunResult:
     """PageRank via the CSR kernel; same semantics as algos.pagerank
     (dangling mass redistributed, L-inf convergence). ``token``: pass a
@@ -875,7 +876,7 @@ def pagerank_csr(
             spark, edges, damping=damping, tol=tol, max_iters=max_iters,
             num_partitions=num_partitions, checkpointer=checkpointer,
             checkpoint_every=checkpoint_every, num_edges=ne,
-            weight_col=weight_col,
+            weight_col=weight_col, init_ranks=init_ranks,
         )
     if route == "stream":
         from .stream import pagerank_stream as _pr_stream
@@ -884,7 +885,7 @@ def pagerank_csr(
             spark, edges, damping=damping, tol=tol, max_iters=max_iters,
             num_partitions=num_partitions, token=token,
             weight_col=weight_col, checkpointer=checkpointer,
-            checkpoint_every=checkpoint_every,
+            checkpoint_every=checkpoint_every, init_ranks=init_ranks,
         )
     if weight_col is not None:
         from .algos.pagerank import _validate_weights
@@ -900,26 +901,45 @@ def pagerank_csr(
     with superstep_conf(spark, g.p, adaptive=False):
         if g.layout == "disk":
             res = _pagerank_csr_disk(
-                spark, g, damping, tol, max_iters, checkpointer, checkpoint_every
+                spark, g, damping, tol, max_iters, checkpointer,
+                checkpoint_every, init_ranks,
             )
         else:
-            res = _pagerank_csr(spark, g, damping, tol, max_iters)
+            res = _pagerank_csr(spark, g, damping, tol, max_iters, init_ranks)
     g.unpersist()
     return res
+
+
+def _rank_seed(g: "CsrGraph", n: int, init_ranks) -> DataFrame:
+    """Initial ``(id, out_degree, rank)`` frame. ``init_ranks`` warm-
+    starts from a prior (id, rank) frame — same contract as
+    algos.pagerank._init_state (prior verbatim, absent vertices 1/n,
+    mass self-corrects; exact continuation on an unchanged graph)."""
+    base = g.verts.join(g.out_deg, ID, "left").select(
+        F.col(ID),
+        F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
+    )
+    if init_ranks is None:
+        return base.select(ID, "out_degree", F.lit(1.0 / n).alias("rank"))
+    pri = init_ranks.select(
+        F.col(ID).alias("_pid"), F.col("rank").cast("double").alias("_prank")
+    )
+    return base.join(pri, base[ID] == F.col("_pid"), "left").select(
+        base[ID],
+        base["out_degree"],
+        F.coalesce(F.col("_prank"), F.lit(1.0 / n)).alias("rank"),
+    )
 
 
 def _pagerank_csr_disk(
     spark, g: CsrGraph, damping, tol, max_iters,
     checkpointer: CheckpointManager | None = None, checkpoint_every: int = 5,
+    init_ranks=None,
 ) -> RunResult:
     n = g.num_vertices
 
     def init() -> DataFrame:
-        return g.verts.join(g.out_deg, ID, "left").select(
-            F.col(ID),
-            F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
-            F.lit(1.0 / n).alias("rank"),
-        )
+        return _rank_seed(g, n, init_ranks)
 
     raw, start = resume_or_init(spark, checkpointer, init)
     # Fresh init and checkpoint-loaded parquet both go through align_state:
@@ -1011,16 +1031,12 @@ def _resolve_block(token: str, pdf_left: pd.DataFrame) -> dict[str, np.ndarray]:
     return _edge_block(token, int(pdf_left["part"].iloc[0]), pdf_left)
 
 
-def _pagerank_csr(spark, g: CsrGraph, damping, tol, max_iters) -> RunResult:
+def _pagerank_csr(
+    spark, g: CsrGraph, damping, tol, max_iters, init_ranks=None
+) -> RunResult:
     n = g.num_vertices
-    deg = g.out_deg
     state = materialize(
-        g.verts.join(deg, ID, "left")
-        .select(
-            F.col(ID),
-            F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
-            F.lit(1.0 / n).alias("rank"),
-        )
+        _rank_seed(g, n, init_ranks)
         .withColumn("part", g.part_col(ID))
         .repartition(g.p, F.col("part"))
     )

@@ -242,6 +242,7 @@ def pagerank_stream(
     graph: CsrGraph | None = None,
     state_partitions: int | None = None,
     chain: int = 1,
+    init_ranks: DataFrame | None = None,
 ) -> RunResult:
     """PageRank over the fused streaming-partition superstep.
 
@@ -262,6 +263,13 @@ def pagerank_stream(
     amortizes it. Default p (one row per task).
 
     ``chain``: supersteps per Spark job (module docstring). Default 1.
+
+    ``init_ranks``: warm-start from a prior ``(id, rank)`` frame — same
+    contract as algos.pagerank (prior taken verbatim, absent vertices
+    start at 1/n, mass self-corrects; exact continuation on an unchanged
+    graph). This is the scale path's incremental re-rank handoff after
+    the streaming ingest lane grows the graph. A checkpoint resume, when
+    present, takes precedence over ``init_ranks``.
     """
     g = graph or CsrGraph(
         spark, edges, num_partitions=num_partitions, token=token,
@@ -292,13 +300,20 @@ def pagerank_stream(
         plan = _load_apply_plan(token_, q, block_dir)
         if plan is None:
             raise RuntimeError(f"stream init: no apply plan for partition {q}")
-        ids = np.sort(pdf[ID].to_numpy(dtype=np.int64))
+        pdf = pdf.sort_values(ID)
+        ids = pdf[ID].to_numpy(dtype=np.int64)
         if not np.array_equal(plan["ids"], ids):
             raise RuntimeError(
                 "stream init: state partition ids do not match the "
                 f"apply plan for partition {q} — partitioner mismatch"
             )
-        rank = np.full(len(ids), 1.0 / n)
+        if "_prank" in pdf.columns:
+            # Warm start: prior ranks ride the seed rows (left join on
+            # id); NaN = vertex absent from the prior -> 1/n.
+            rank = pdf["_prank"].to_numpy(dtype=np.float64).copy()
+            rank[np.isnan(rank)] = 1.0 / n
+        else:
+            rank = np.full(len(ids), 1.0 / n)
         yield pd.DataFrame({PART: [q], BLOB: [rank.tobytes()]})
 
     def scatter_kernel_for(superstep: int):
@@ -369,7 +384,13 @@ def pagerank_stream(
 
     with superstep_conf(spark, p):
         if state is None:
-            state = g.align_state(g.verts).mapInPandas(
+            seed = g.verts
+            if init_ranks is not None:
+                pri = init_ranks.select(
+                    F.col(ID), F.col("rank").cast("double").alias("_prank")
+                )
+                seed = seed.join(pri, ID, "left")
+            state = g.align_state(seed).mapInPandas(
                 init_kernel, schema=_STATE_SCHEMA
             ).localCheckpoint(eager=True)
         else:

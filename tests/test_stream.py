@@ -193,3 +193,40 @@ def test_pagerank_stream_resume_equals_uninterrupted(spark, tmp_path):
     ks = sorted(a)
     assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=0, atol=1e-12)
     assert res.supersteps == full.supersteps
+
+
+def test_pagerank_stream_warm_start_continues_exactly(spark):
+    """warm(cold-k3 state) + 2 supersteps == cold k5 on the stream path —
+    the scale path's incremental re-rank handoff (streaming ingest grows
+    the graph, re-rank from prior ranks). Bit-level continuation: the
+    kernels are fixed-order numpy folds, so no allclose slack is needed
+    beyond the init frame's join nondeterminism (none: ranks ride rows)."""
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    cold3 = pagerank_stream(spark, edges, tol=0.0, max_iters=3)
+    warm = pagerank_stream(
+        spark, edges, tol=0.0, max_iters=2,
+        init_ranks=cold3.state.select("id", "rank"),
+    )
+    cold5 = pagerank_stream(spark, edges, tol=0.0, max_iters=5)
+    a, b = _ranks(warm), _ranks(cold5)
+    assert set(a) == set(b)
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=0, atol=1e-15)
+
+
+def test_pagerank_csr_warm_start_continues_exactly(spark):
+    from chaos_spark.csr import pagerank_csr
+
+    pdf = g4_powerlaw(scale=9, num_edges=3000)
+    edges = spark.createDataFrame(pdf)
+    cold3 = pagerank_csr(spark, edges, tol=0.0, max_iters=3, mode="csr")
+    warm = pagerank_csr(
+        spark, edges, tol=0.0, max_iters=2, mode="csr",
+        init_ranks=cold3.state.select("id", "rank"),
+    )
+    cold5 = pagerank_csr(spark, edges, tol=0.0, max_iters=5, mode="csr")
+    a, b = _ranks(warm), _ranks(cold5)
+    assert set(a) == set(b)
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=0, atol=1e-12)
