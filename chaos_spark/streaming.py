@@ -64,6 +64,7 @@ column pruning. No step ever re-reads corpus *content* — only the
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -86,12 +87,18 @@ _REFS, _INDEX, _EDGES, _CKPT = "refs", "index", "edges", "_checkpoint"
 
 @dataclass
 class IngestResult:
-    """Paths of the maintained tables + how many micro-batches ran."""
+    """Paths of the maintained tables + how many micro-batches ran.
+
+    ``batch_secs``: wall seconds per micro-batch, in execution order —
+    the Δ-proportionality evidence (extraction cost is Δ-only; the only
+    history-size-dependent term is a 3-column pruned parquet scan).
+    """
 
     edges_dir: str
     refs_dir: str
     index_dir: str
     batches_run: int
+    batch_secs: list
 
 
 def _part_dir(root: str, batch_id: int) -> str:
@@ -203,11 +210,13 @@ def ingest_corpus_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(source_dir)
 
-    ran = {"n": 0}
+    ran = {"n": 0, "secs": []}
 
     def process(bdf: DataFrame, bid: int) -> None:
+        t0 = time.perf_counter()
         _ingest_batch(bdf, bid, work_dir)
         ran["n"] += 1
+        ran["secs"].append(round(time.perf_counter() - t0, 3))
 
     q = (
         src.writeStream.foreachBatch(process)
@@ -221,6 +230,7 @@ def ingest_corpus_stream(
         refs_dir=os.path.join(work_dir, _REFS),
         index_dir=os.path.join(work_dir, _INDEX),
         batches_run=ran["n"],
+        batch_secs=ran["secs"],
     )
 
 
