@@ -19,10 +19,12 @@ from .mcst import minimum_spanning_forest
 from .hyperanf import hyper_anf
 from .als import als
 from .bp import belief_propagation
+from .conductance import conductance
 
 __all__ = [
     "als",
     "belief_propagation",
+    "conductance",
     "pagerank",
     "connected_components",
     "label_propagation",

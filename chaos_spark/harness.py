@@ -634,6 +634,39 @@ GROUP BY e.dst
 """.strip()
 
 
+def q_conductance(spark, sf_dir):
+    """Conductance of the even/odd-id vertex cut on the part graph —
+    the last member of X-Stream's published suite ([X13] §5.2 Table 2),
+    a one-pass edge-centric scatter like SpMV."""
+    from .algos.conductance import conductance
+    from .graph import vertices_from_edges
+
+    e = part_edges(spark, sf_dir)
+    m = vertices_from_edges(e).select(
+        "id", (F.col("id") % 2).alias("member")
+    )
+    return conductance(spark, e, m)
+
+
+SQL_CONDUCTANCE = _with(
+    [
+        f"edges AS ({SQL_PART_EDGES})",
+        f"und AS ({_UND})",
+        "eo AS (SELECT src, dst FROM und WHERE src < dst)",
+        "j AS (SELECT src % 2 AS ms, dst % 2 AS mt FROM eo)",
+    ],
+    """
+SELECT CAST(SUM(CASE WHEN ms <> mt THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges,
+       CAST(2 * COUNT(*) - SUM(ms) - SUM(mt) AS BIGINT) AS vol_0,
+       CAST(SUM(ms) + SUM(mt) AS BIGINT) AS vol_1,
+       CAST(SUM(CASE WHEN ms <> mt THEN 1 ELSE 0 END) AS DOUBLE)
+         / LEAST(2 * COUNT(*) - SUM(ms) - SUM(mt), SUM(ms) + SUM(mt))
+         AS conductance
+FROM j
+""".strip(),
+)
+
+
 # --- training-data pipeline operators over documents/embeddings -----------
 
 def q_dedup_exact(spark, sf_dir):
@@ -1920,6 +1953,7 @@ QUERIES = {
     "kcore3": q_kcore3,
     "kcore3_stream": q_kcore3_stream,
     "spmv_acctbal": q_spmv_acctbal,
+    "conductance": q_conductance,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
@@ -1990,6 +2024,7 @@ ORACLES = {
     "kcore3": kcore_sql(SQL_PART_EDGES, 3, 3),
     "kcore3_stream": kcore_sql(SQL_PART_EDGES, 3, 3),
     "spmv_acctbal": SQL_SPMV,
+    "conductance": SQL_CONDUCTANCE,
     "dedup_exact": SQL_DEDUP,
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY,

@@ -225,3 +225,45 @@ def test_hyperanf_sql_hash_and_registers_match_numpy():
     assert (r0["rank"].to_numpy() == want_rank).all()
     # and the estimate column exists for every vertex
     assert len(got) == len(ids)
+
+
+def test_conductance_hand_computed(spark):
+    """Two triangles joined by one bridge; S = one triangle. cut = 1,
+    vol(S) = vol(S~) = 7 (3 internal edges x2 + the bridge endpoint),
+    phi = 1/7. Also checked against networkx on a random graph below."""
+    from chaos_spark.algos.conductance import conductance
+
+    tri = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)]
+    edges = spark.createDataFrame(pd.DataFrame(tri, columns=["src", "dst"]))
+    m = spark.createDataFrame(
+        pd.DataFrame({"id": range(6), "member": [1, 1, 1, 0, 0, 0]})
+    )
+    row = conductance(spark, edges, m).first()
+    assert row["cut_edges"] == 1
+    assert row["vol_0"] == row["vol_1"] == 7
+    assert abs(row["conductance"] - 1 / 7) < 1e-15
+
+
+def test_conductance_matches_networkx(spark):
+    from chaos_spark.algos.conductance import conductance
+
+    pdf = g4_powerlaw(scale=8, num_edges=1500)
+    g = nx_ungraph(pdf)
+    g.remove_edges_from(nx.selfloop_edges(g))
+    s = {v for v in g.nodes if v % 3 == 0}
+    want = nx.conductance(g, s)
+    edges = spark.createDataFrame(pdf)
+    m = spark.createDataFrame(
+        pd.DataFrame({"id": list(g.nodes), "member": [int(v % 3 == 0) for v in g.nodes]})
+    )
+    row = conductance(spark, edges, m).first()
+    assert abs(row["conductance"] - want) < 1e-12
+
+
+def test_conductance_missing_membership_raises(spark):
+    from chaos_spark.algos.conductance import conductance
+
+    edges = spark.createDataFrame(pd.DataFrame({"src": [0, 1], "dst": [1, 2]}))
+    m = spark.createDataFrame(pd.DataFrame({"id": [0, 1], "member": [0, 1]}))
+    with pytest.raises(ValueError, match="missing from membership"):
+        conductance(spark, edges, m)
