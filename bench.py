@@ -141,7 +141,41 @@ def _host_busy_check() -> dict:
     return info
 
 
+# A 1-min loadavg above this at start measurably contaminates the record
+# (r5: 64.1 s vs 44.7 s on the same code, sole difference loadavg 1.31 vs
+# 0.15 — BENCH/BASELINE.md "End-of-round record"). Residue from a JUST-
+# finished run decays on its own, so a bounded wait converts a
+# contaminated record into a clean one at zero protocol cost.
+IDLE_LOADAVG = 0.5
+IDLE_WAIT_MAX_SEC = 180
+
+
+def _wait_for_idle() -> None:
+    """Bounded wait for 1-min loadavg to decay below IDLE_LOADAVG (skip
+    with CHAOS_BENCH_NO_WAIT=1). Never waits on a genuinely busy host
+    longer than IDLE_WAIT_MAX_SEC — _host_busy_check still records the
+    evidence either way."""
+    if os.environ.get("CHAOS_BENCH_NO_WAIT") == "1":
+        return
+    deadline = time.time() + IDLE_WAIT_MAX_SEC
+    while time.time() < deadline:
+        try:
+            with open("/proc/loadavg") as f:
+                la1 = float(f.read().split()[0])
+        except (OSError, ValueError):
+            return
+        if la1 <= IDLE_LOADAVG:
+            return
+        print(
+            f"bench: waiting for load residue to decay (1-min loadavg {la1:.2f} "
+            f"> {IDLE_LOADAVG})...",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+
+
 def run_default(sf_dir: str, cpus: int) -> dict:
+    _wait_for_idle()
     host = _host_busy_check()
     spark = _session(cpus)
     timings: dict[str, float] = {}
