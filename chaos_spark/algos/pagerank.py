@@ -98,8 +98,11 @@ def _broadcast_max_vertices(spark) -> int:
     )
 
 
-def _init_state(verts, deg, n, p, init_ranks=None) -> DataFrame:
-    """Initial ``(id, out_degree, rank)`` state for both join regimes.
+def seed_ranks(verts, deg, n, init_ranks=None) -> DataFrame:
+    """Initial ``(id, out_degree, rank)`` frame — the ONE definition of
+    the warm-start contract, shared by the join regimes (here), the CSR
+    kernel (csr._rank_seed delegates), and mirrored by the stream path's
+    in-kernel NaN-fill (stream.pagerank_stream init_kernel).
 
     ``init_ranks`` (columns ``id, rank``) warm-starts the run: prior
     ranks are taken verbatim; vertices absent from the prior start at
@@ -117,17 +120,21 @@ def _init_state(verts, deg, n, p, init_ranks=None) -> DataFrame:
         F.coalesce(deg["out_degree"], F.lit(0)).alias("out_degree"),
     )
     if init_ranks is None:
-        st = base.select(ID, "out_degree", F.lit(1.0 / n).alias("rank"))
-    else:
-        prior = init_ranks.select(
-            F.col(ID).alias("_pid"), F.col("rank").cast("double").alias("_prank")
-        )
-        st = base.join(prior, base[ID] == F.col("_pid"), "left").select(
-            base[ID],
-            base["out_degree"],
-            F.coalesce(F.col("_prank"), F.lit(1.0 / n)).alias("rank"),
-        )
-    return materialize(st.repartition(p, F.col(ID)))
+        return base.select(ID, "out_degree", F.lit(1.0 / n).alias("rank"))
+    prior = init_ranks.select(
+        F.col(ID).alias("_pid"), F.col("rank").cast("double").alias("_prank")
+    )
+    return base.join(prior, base[ID] == F.col("_pid"), "left").select(
+        base[ID],
+        base["out_degree"],
+        F.coalesce(F.col("_prank"), F.lit(1.0 / n)).alias("rank"),
+    )
+
+
+def _init_state(verts, deg, n, p, init_ranks=None) -> DataFrame:
+    return materialize(
+        seed_ranks(verts, deg, n, init_ranks).repartition(p, F.col(ID))
+    )
 
 
 def pagerank(

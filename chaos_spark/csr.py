@@ -911,24 +911,11 @@ def pagerank_csr(
 
 
 def _rank_seed(g: "CsrGraph", n: int, init_ranks) -> DataFrame:
-    """Initial ``(id, out_degree, rank)`` frame. ``init_ranks`` warm-
-    starts from a prior (id, rank) frame — same contract as
-    algos.pagerank._init_state (prior verbatim, absent vertices 1/n,
-    mass self-corrects; exact continuation on an unchanged graph)."""
-    base = g.verts.join(g.out_deg, ID, "left").select(
-        F.col(ID),
-        F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
-    )
-    if init_ranks is None:
-        return base.select(ID, "out_degree", F.lit(1.0 / n).alias("rank"))
-    pri = init_ranks.select(
-        F.col(ID).alias("_pid"), F.col("rank").cast("double").alias("_prank")
-    )
-    return base.join(pri, base[ID] == F.col("_pid"), "left").select(
-        base[ID],
-        base["out_degree"],
-        F.coalesce(F.col("_prank"), F.lit(1.0 / n)).alias("rank"),
-    )
+    """Initial ``(id, out_degree, rank)`` frame — delegates to the ONE
+    warm-start contract definition, algos.pagerank.seed_ranks."""
+    from .algos.pagerank import seed_ranks
+
+    return seed_ranks(g.verts, g.out_deg, n, init_ranks)
 
 
 def _pagerank_csr_disk(

@@ -110,8 +110,14 @@ def _has_batch_dirs(spark: SparkSession, root: str) -> bool:
 
     Goes through the Hadoop FileSystem API so the maintained tables can
     live on any shared storage (HDFS/S3/local) — the same shared-storage
-    assumption the stream path's update files make. Local-path fallback
-    keeps the check working where no JVM gateway FS is reachable.
+    assumption the stream path's update files make. The os.listdir
+    fallback applies ONLY to scheme-less local paths (no JVM gateway
+    reachable, e.g. a unit-test helper call); for a remote scheme an FS
+    error RE-RAISES — treating a transient listStatus failure as "no
+    history" would silently drop the ΔR⋈I_old and R_old⋈ΔI terms of
+    batch b, and since later batches only look at newer deltas, the
+    missed pairs would never be retried: permanent silent edge loss
+    instead of a loud failed batch.
     """
     try:
         jvm = spark._jvm
@@ -124,6 +130,8 @@ def _has_batch_dirs(spark: SparkSession, root: str) -> bool:
             for st in fs.listStatus(jpath)
         )
     except Exception:
+        if "://" in root:
+            raise
         return os.path.isdir(root) and any(
             e.startswith("batch_id=") for e in os.listdir(root)
         )
@@ -157,8 +165,12 @@ def _ingest_batch(batch_df: DataFrame, batch_id: int, work_dir: str) -> None:
     batch_df = batch_df.persist()
     refs_new = idx_new = None
     try:
+        # distinct: duplicate import lines within a file collapse here so
+        # the maintained refs table (which feeds every future term-2 join)
+        # stays minimal. The index needs no distinct — path_index emits
+        # exactly one row per file and (repo, path) is unique.
         refs_new = extract_references(batch_df).distinct().persist()
-        idx_new = path_index(batch_df).distinct().persist()
+        idx_new = path_index(batch_df).persist()
 
         refs_old = _read_history(
             spark, refs_dir, batch_id, "repo string, src_path string, dst_stem string"
@@ -175,7 +187,11 @@ def _ingest_batch(batch_df: DataFrame, batch_id: int, work_dir: str) -> None:
         # R_old ⋈ ΔI: history refs against ONLY the delta index, broadcast —
         # the unbounded side is scanned (3 columns), never shuffled.
         e2, _ = resolve_against_index(refs_old, idx_new, broadcast_index=True)
-        edges_new = e1.unionByName(e2).distinct()
+        # No distinct on the union: e1/e2 are each deduped inside
+        # resolve_against_index and are disjoint by construction — e1's
+        # src files live in THIS batch, e2's in strictly older ones (a
+        # file's refs are extracted exactly once, in its own batch).
+        edges_new = e1.unionByName(e2)
 
         # Deterministic per-batch partition dirs; overwrite => replay-safe.
         edges_new.write.mode("overwrite").parquet(_part_dir(edges_dir, batch_id))

@@ -26,7 +26,6 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-import numpy as np  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -72,7 +71,20 @@ def id_edges(path_edges):
     )
 
 
+def wait_for_idle(max_sec=240, ceiling=0.5):
+    """Same hygiene as bench._wait_for_idle: don't start a record while
+    load residue from a prior run is still decaying."""
+    deadline = time.time() + max_sec
+    while time.time() < deadline:
+        la1 = host_evidence()["loadavg"][0]
+        if la1 <= ceiling:
+            return
+        print(f"probe: waiting for idle (1-min loadavg {la1:.2f})...")
+        time.sleep(15)
+
+
 def main():
+    wait_for_idle()
     shutil.rmtree(BASE, ignore_errors=True)
     os.makedirs(BASE, exist_ok=True)
     src_dir, work_dir = f"{BASE}/src", f"{BASE}/work"
