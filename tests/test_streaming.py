@@ -37,7 +37,8 @@ def test_multibatch_ingest_equals_batch_resolve(spark, tmp_path):
     res = ingest_corpus_stream(spark, src_dir, work_dir, max_files_per_trigger=2)
     assert res.batches_run >= 3  # the delta algebra actually crossed batches
 
-    got = _edge_set(read_edges(spark, work_dir))
+    maintained = read_edges(spark, work_dir)
+    got = _edge_set(maintained)
 
     full = spark.createDataFrame(corpus.files)
     want_edges, _ = resolve_references(extract_references(full), full)
@@ -46,6 +47,12 @@ def test_multibatch_ingest_equals_batch_resolve(spark, tmp_path):
         (r.repo, r.src_path, r.dst_path)
         for r in corpus.truth_edges.itertuples(index=False)
     }
+    # exact ROW count too: the per-batch union carries no distinct (the
+    # e1/e2 terms are disjoint by the delta algebra), so a duplicate
+    # anywhere would survive into the maintained table — a set compare
+    # alone would mask it. The fixture has duplicate import lines
+    # (zipf-sampled targets), so intra-file dedup is exercised as well.
+    assert maintained.count() == len(corpus.truth_edges)
 
 
 def _one_file(repo, path, lang, content):
@@ -105,9 +112,10 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     _ingest_batch(bdf, 0, work_dir)
     before = _edge_set(read_edges(spark, work_dir))
     _ingest_batch(bdf, 0, work_dir)  # simulated replay of the same batch id
-    after = _edge_set(read_edges(spark, work_dir))
+    after_df = read_edges(spark, work_dir)
 
-    assert before == after
+    assert before == _edge_set(after_df)
+    assert after_df.count() == len(corpus.truth_edges)  # no dup rows either
     assert before == {
         (r.repo, r.src_path, r.dst_path)
         for r in corpus.truth_edges.itertuples(index=False)
