@@ -38,18 +38,45 @@ def connected_components(
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     num_edges: int | None = None,
+    init_labels: DataFrame | None = None,
 ) -> RunResult:
     """Hash-min WCC; result ``state`` has columns ``(id, label)`` where
     ``label`` is the minimum vertex id of the component.
-    ``num_edges``: caller-known |E| — skips the partition-sizing count."""
+    ``num_edges``: caller-known |E| — skips the partition-sizing count.
+
+    ``init_labels``: warm-start from a prior ``(id, label)`` frame — the
+    incremental-ingest handoff for CC, and unlike PageRank's it is EXACT
+    in both directions:
+
+    - Unchanged graph: ``L_t(v) = min over u within distance t of
+      L_0(u)``, so warm(cold-k state) + j supersteps ≡ cold k+j
+      supersteps identically (the frontier optimization preserves this —
+      an unchanged neighbor's label was already folded in).
+    - Grown graph (edge/vertex ADDITIONS only — the streaming lane's
+      append-only corpus; deletions can split components and invalidate
+      prior labels): every prior label is the id of some vertex in the
+      same (merged) component and every id ≥ its component's min, so the
+      fixed point is still the exact per-component min id, reached in
+      fewer supersteps because old components are pre-collapsed.
+
+    Vertices absent from the prior start at their own id; labels are
+    clamped with least(id, prior) so a malformed prior (label > id)
+    cannot raise the fixed point.
+    """
     p = num_partitions or choose_num_partitions(
         spark, (num_edges if num_edges is not None else edges.count()) * 2
     )
     with superstep_conf(spark, p):
-        return _cc(spark, edges, max_iters, p, checkpointer, checkpoint_every)
+        return _cc(
+            spark, edges, max_iters, p, checkpointer, checkpoint_every,
+            init_labels,
+        )
 
 
-def _cc(spark, edges, max_iters, p, checkpointer, checkpoint_every) -> RunResult:
+def _cc(
+    spark, edges, max_iters, p, checkpointer, checkpoint_every,
+    init_labels=None,
+) -> RunResult:
     und = symmetrize(edges)
     verts = vertices_from_edges(und)
     # sort=False: unlike PageRank's static full-table scatter, CC's
@@ -62,12 +89,26 @@ def _cc(spark, edges, max_iters, p, checkpointer, checkpoint_every) -> RunResult
     und.count()
 
     def init() -> DataFrame:
+        if init_labels is None:
+            seed = verts.select(F.col(ID), F.col(ID).alias("label"))
+        else:
+            pri = init_labels.select(
+                F.col(ID).alias("_pid"), F.col("label").alias("_plab")
+            )
+            seed = verts.join(pri, verts[ID] == F.col("_pid"), "left").select(
+                verts[ID],
+                F.least(
+                    verts[ID], F.coalesce(F.col("_plab"), verts[ID])
+                ).alias("label"),
+            )
+        # changed=True everywhere: the first warm superstep does one full
+        # scatter (the price of restarting), after which the shrinking
+        # frontier resumes — required for the exact warm(k)+j ≡ cold k+j
+        # identity above.
         return materialize(
-            verts.select(
-                F.col(ID),
-                F.col(ID).alias("label"),
-                F.lit(True).alias("changed"),
-            ).repartition(p, F.col(ID))
+            seed.select(ID, "label", F.lit(True).alias("changed")).repartition(
+                p, F.col(ID)
+            )
         )
 
     state, start = resume_or_init(spark, checkpointer, init)

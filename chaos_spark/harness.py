@@ -413,6 +413,20 @@ def q_cc_k6(spark, sf_dir):
     return res.state.select("id", "label")
 
 
+def q_cc_warm_k6(spark, sf_dir):
+    """Warm-start CC through the driver VALUE gate: 3 cold supersteps,
+    then a NEW run seeded with those labels runs 3 more — verified
+    against the SAME unrolled hash-min oracle as cc_k6. Exact by the
+    distance-min identity L_t(v) = min_{d(u,v)<=t} L_0(u) (see
+    algos/cc.py docstring) — the incremental-ingest handoff for CC."""
+    e = part_edges(spark, sf_dir)
+    cold3 = connected_components(spark, e, max_iters=3)
+    res = connected_components(
+        spark, e, max_iters=3, init_labels=cold3.state.select("id", "label")
+    )
+    return res.state.select("id", "label")
+
+
 def q_lpa_k3(spark, sf_dir):
     e = part_edges(spark, sf_dir)
     res = label_propagation(spark, e, max_iters=3)
@@ -1934,6 +1948,7 @@ QUERIES = {
     "pagerank_stream_k5": q_pagerank_stream_k5,
     "pagerank_resume_k5": q_pagerank_resume_k5,
     "cc_k6": q_cc_k6,
+    "cc_warm_k6": q_cc_warm_k6,
     "cc_csr_k6": q_cc_csr_k,
     "cc_stream_k6": q_cc_stream_k6,
     "lpa_k3": q_lpa_k3,
@@ -2007,6 +2022,7 @@ ORACLES = {
     "pagerank_resume_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "pagerank_warm_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "cc_k6": cc_sql(SQL_PART_EDGES, 6),
+    "cc_warm_k6": cc_sql(SQL_PART_EDGES, 6),
     "cc_csr_k6": cc_sql(SQL_PART_EDGES, 6),
     "cc_stream_k6": cc_sql(SQL_PART_EDGES, 6),
     "lpa_k3": lpa_sql(SQL_PART_EDGES, 3),

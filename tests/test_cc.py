@@ -33,3 +33,36 @@ def test_cc_cliques_three_components(spark):
 
 def test_cc_powerlaw(spark):
     _check(spark, g4_powerlaw(scale=10, num_edges=3000))
+
+
+def test_cc_warm_start_continues_exactly(spark):
+    """warm(cold-k3 labels) + 3 supersteps == cold k6, label for label —
+    the distance-min identity L_t(v) = min_{d(u,v)<=t} L_0(u)."""
+    pdf = g4_powerlaw(scale=9, num_edges=2500)
+    edges = spark.createDataFrame(pdf)
+    cold3 = connected_components(spark, edges, max_iters=3)
+    warm = connected_components(
+        spark, edges, max_iters=3, init_labels=cold3.state.select("id", "label")
+    )
+    cold6 = connected_components(spark, edges, max_iters=6)
+    a = {r["id"]: r["label"] for r in warm.state.collect()}
+    b = {r["id"]: r["label"] for r in cold6.state.collect()}
+    assert a == b
+
+
+def test_cc_warm_start_on_grown_graph_exact(spark):
+    """Append-only growth: warm-starting from the old graph's converged
+    labels reaches the exact per-component min-id fixed point of the
+    grown graph, in no more supersteps than cold."""
+    pdf = g3_cliques()
+    grown = spark.createDataFrame(pdf)
+    old = spark.createDataFrame(pdf.iloc[: len(pdf) // 2])
+    prior = connected_components(spark, old, max_iters=200).state.select(
+        "id", "label"
+    )
+    warm = connected_components(spark, grown, max_iters=200, init_labels=prior)
+    cold = connected_components(spark, grown, max_iters=200)
+    a = {r["id"]: r["label"] for r in warm.state.collect()}
+    want = cc_oracle(pdf)
+    assert a == want
+    assert warm.supersteps <= cold.supersteps
