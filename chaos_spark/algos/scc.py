@@ -37,9 +37,43 @@ def strongly_connected_components(
     max_rounds: int = 50,
     max_iters: int = 200,
     num_partitions: int | None = None,
+    mode: str = "auto",
+    num_edges: int | None = None,
 ) -> RunResult:
     """FB-coloring SCC; result ``state`` has ``(id, label)`` where label is
-    the minimum vertex id of the SCC."""
+    the minimum vertex id of the SCC.
+
+    ``mode="auto"`` (default) serves the call through the fused two-graph
+    STREAM path (stream_algos.scc_stream — identical final labels; dead
+    vertices masked in-kernel instead of the per-round live-subgraph
+    rebuild, which at scale costs two full-graph joins per peeling round)
+    at or above csr.CSR_AUTO_MIN_EDGES, or below it when this graph's
+    directed blocks are already warm in the registry.
+    ``mode="join"``/``mode="stream"`` pin a path; ``num_edges``:
+    caller-known |E| skips the dispatch count. ``max_iters`` budgets the
+    inner fixpoints; the stream path's total-superstep budget is
+    ``2 * max_iters``."""
+    if mode not in ("auto", "join", "stream"):
+        raise ValueError(
+            f"unknown mode {mode!r} (expected 'auto', 'join' or 'stream')"
+        )
+    if mode != "join":
+        from ..csr import CSR_AUTO_MIN_EDGES, _warm_blocks_ready, _warm_key
+        from ..stream_algos import scc_stream
+
+        route_stream = mode == "stream"
+        if not route_stream:
+            ne = num_edges if num_edges is not None else edges.count()
+            route_stream = ne >= CSR_AUTO_MIN_EDGES or (
+                _warm_blocks_ready(_warm_key(
+                    edges, False, None, num_partitions,
+                )) is not None
+            )
+        if route_stream:
+            return scc_stream(
+                spark, edges, max_iters=2 * max_iters,
+                num_partitions=num_partitions,
+            )
     p = num_partitions or choose_num_partitions(spark, edges.count() * 2)
     with superstep_conf(spark, p):
         return _scc(spark, edges, max_rounds, max_iters, p)

@@ -914,6 +914,18 @@ def q_scc(spark, sf_dir):
     return strongly_connected_components(spark, e).state.select("id", "label")
 
 
+def q_scc_stream(spark, sf_dir):
+    """SCC via the fused two-graph stream path (stream_algos.scc_stream):
+    forward max-color folds over the directed v5 blocks, backward
+    min-sweeps over the reversed blocks, dead vertices masked in-kernel —
+    same definitional transitive-closure oracle as q_scc (final labels
+    are exact-identical to the join path; tests/test_stream_algos.py)."""
+    from .stream_algos import scc_stream
+
+    e = part_edges(spark, sf_dir)
+    return scc_stream(spark, e).state.select("id", "label")
+
+
 def scc_sql(edges_sql: str) -> str:
     """Exact SCC oracle by definition (not by algorithm): transitive
     closure via recursive CTE, then label = min over the mutual set."""
@@ -1984,6 +1996,7 @@ QUERIES = {
     "bipartite_k6": q_bipartite_k6,
     "bipartite_stream_k6": q_bipartite_stream_k6,
     "scc": q_scc,
+    "scc_stream": q_scc_stream,
     "msf": q_msf,
     "hyperanf": q_hyperanf,
     "hyperanf_k3": q_hyperanf_k3,
@@ -2052,6 +2065,7 @@ ORACLES = {
     "bipartite_stream_k6": bipartite_sql(SQL_PART_EDGES, 6),
     "msf": boruvka_sql(SQL_PART_EDGES),
     "scc": scc_sql(SQL_PART_EDGES),
+    "scc_stream": scc_sql(SQL_PART_EDGES),
     "import_graph_edges": import_graph_sql(),
     "import_graph_stream": import_graph_sql(),
     "als_r1": als_r1_sql(),

@@ -679,3 +679,120 @@ def test_bipartite_auto_routes_stream_at_scale(spark, monkeypatch):
     b = bipartite_check(spark, edges, max_iters=200, mode="join")
     assert _colorings(a) == _colorings(b)
     assert a.supersteps == b.supersteps
+
+
+# ---------------------------------------------------------------------------
+# SCC two-graph stream kernel — exact parity with algos.scc (forward
+# max-color folds over the directed blocks, backward min-sweeps over the
+# reversed blocks, dead vertices masked in-kernel; driver phase machine
+# riding checkpoint manifests).
+# ---------------------------------------------------------------------------
+
+def _scc_stream_cases():
+    import pandas as pd
+
+    return {
+        "two_cycles_bridged": pd.DataFrame(
+            {"src": [1, 2, 3, 4, 5, 6, 3], "dst": [2, 3, 1, 5, 6, 4, 4]}
+        ),
+        "dag_all_singletons": pd.DataFrame(
+            {"src": [1, 1, 2, 3], "dst": [2, 3, 4, 4]}
+        ),
+        "chain": g1_chain(),
+        "powerlaw": g4_powerlaw(scale=8, num_edges=1500),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_scc_stream_cases()))
+def test_scc_stream_equals_join_path(spark, name):
+    from chaos_spark.algos.scc import strongly_connected_components
+    from chaos_spark.stream_algos import scc_stream
+
+    pdf = _scc_stream_cases()[name]
+    edges = spark.createDataFrame(pdf)
+    r_join = strongly_connected_components(spark, edges, mode="join")
+    r_str = scc_stream(spark, edges)
+    assert r_str.converged
+    assert _labels(r_join) == _labels(r_str)
+
+
+def test_scc_stream_matches_networkx(spark):
+    import networkx as nx
+
+    from chaos_spark.stream_algos import scc_stream
+
+    pdf = g4_powerlaw(scale=8, num_edges=1500)
+    g = nx.DiGraph()
+    g.add_edges_from(
+        pdf[["src", "dst"]].drop_duplicates().itertuples(index=False)
+    )
+    exp = {}
+    for comp in nx.strongly_connected_components(g):
+        m = min(comp)
+        for v in comp:
+            exp[v] = m
+    res = scc_stream(spark, spark.createDataFrame(pdf))
+    assert res.converged
+    assert _labels(res) == exp
+
+
+def test_scc_stream_state_partitions_invariance(spark):
+    from chaos_spark.stream_algos import scc_stream
+
+    pdf = g4_powerlaw(scale=8, num_edges=1500)
+    edges = spark.createDataFrame(pdf)
+    a = scc_stream(spark, edges)
+    b = scc_stream(spark, edges, state_partitions=2)
+    assert _labels(a) == _labels(b)
+    assert a.supersteps == b.supersteps
+
+
+def test_scc_stream_resume_equals_uninterrupted(spark, tmp_path):
+    # Resume must restore the driver phase machine from the manifest's
+    # next_apply/next_scatter metrics — interrupt at a mid-phase superstep.
+    from chaos_spark.stream_algos import scc_stream
+
+    pdf = g4_powerlaw(scale=8, num_edges=1500)
+    edges = spark.createDataFrame(pdf)
+    config = {"algo": "scc_stream", "graph": "g4s8"}
+
+    full = scc_stream(spark, edges)
+    assert full.converged and full.supersteps > 3
+
+    cp1 = CheckpointManager(str(tmp_path / "cp"), "scc_stream", config)
+    part = scc_stream(
+        spark, edges, max_iters=3, checkpointer=cp1, checkpoint_every=3,
+    )
+    assert part.supersteps == 3
+    m = cp1.latest()
+    assert m is not None and m["superstep"] == 3
+    assert "next_apply" in m["metrics"] and "scatter" in m["metrics"]
+
+    cp2 = CheckpointManager(str(tmp_path / "cp"), "scc_stream", config)
+    res = scc_stream(
+        spark, edges, checkpointer=cp2, checkpoint_every=3,
+    )
+    assert _labels(full) == _labels(res)
+    assert res.supersteps == full.supersteps
+
+
+def test_scc_auto_routes_stream_at_scale(spark, monkeypatch):
+    import chaos_spark.csr as csr_mod
+    import chaos_spark.stream_algos as sa
+    from chaos_spark.algos.scc import strongly_connected_components
+
+    monkeypatch.setattr(csr_mod, "CSR_AUTO_MIN_EDGES", 1)
+    called = {}
+    orig = sa.scc_stream
+
+    def spy(*a, **k):
+        called["stream"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sa, "scc_stream", spy)
+    pdf = g4_powerlaw(scale=8, num_edges=1500)
+    edges = spark.createDataFrame(pdf)
+    a = strongly_connected_components(spark, edges)
+    assert called.get("stream")
+    b = strongly_connected_components(spark, edges, mode="join")
+    assert _labels(a) == _labels(b)
