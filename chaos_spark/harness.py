@@ -440,6 +440,35 @@ def q_triangle_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "triangles long")
 
 
+def q_triangle_stream(spark, sf_dir):
+    """The SAME global triangle count as ``triangle_count``, but
+    maintained INCREMENTALLY by the streaming lane
+    (streaming.maintain_triangle_count): the part-graph edges are
+    written as many small parquet files, drained in micro-batches
+    (maxFilesPerTrigger=4 forces cross-batch triangles), and each
+    batch's delta = t1+t2+t3 (triangles completed by exactly 1/2/3 of
+    the batch's new edges — the Δ-join algebra of the ingest lane
+    applied to wedges). Verified against the identical DuckDB oracle as
+    the batch query — arrival order must not change the total."""
+    import shutil
+    import tempfile
+
+    from .streaming import maintain_triangle_count, read_triangle_count
+
+    edges = part_edges(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="chaos_tri_stream_q_")
+    try:
+        src_dir, work_dir = f"{base}/src", f"{base}/work"
+        edges.repartition(16).write.mode("overwrite").parquet(src_dir)
+        res = maintain_triangle_count(
+            spark, src_dir, work_dir, max_files_per_trigger=4
+        )
+        assert res.batches_run >= 3, "micro-batching did not engage"
+        return read_triangle_count(spark, work_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_triangles_per_vertex(spark, sf_dir):
     from .algos import triangle_counts_per_vertex
 
@@ -1974,6 +2003,7 @@ QUERIES = {
     "rmat_edges": q_rmat_edges,
     "er_edges": q_er_edges,
     "triangle_count": q_triangle_count,
+    "triangle_stream": q_triangle_stream,
     "triangles_per_vertex": q_triangles_per_vertex,
     "bfs_k4": q_bfs_k4,
     "bfs_stream_k4": q_bfs_stream_k4,
@@ -2047,6 +2077,7 @@ ORACLES = {
     "pagerank_w_csr_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
     "pagerank_w_stream_k5": pagerank_sql(SQL_WEIGHTED_EDGES, 5, weighted=True),
     "triangle_count": triangle_count_sql(SQL_PART_EDGES),
+    "triangle_stream": triangle_count_sql(SQL_PART_EDGES),
     "triangles_per_vertex": triangles_per_vertex_sql(SQL_PART_EDGES),
     "bfs_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),
     "bfs_stream_k4": bfs_sql(SQL_CUST_SUPP_EDGES, 4),

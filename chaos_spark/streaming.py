@@ -262,3 +262,173 @@ def read_edges(spark: SparkSession, work_dir: str) -> DataFrame:
         .parquet(os.path.join(work_dir, _EDGES))
         .select("repo", "src_path", "dst_path")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental triangle counting over a growing edge table
+# ---------------------------------------------------------------------------
+
+_CEDGES, _TRI = "cedges", "tri"
+
+
+@dataclass
+class TriangleResult:
+    """Maintained-table paths + per-batch evidence.
+
+    ``batch_deltas``: one dict per micro-batch in execution order —
+    ``{"batch_id", "new_edges", "t1", "t2", "t3", "delta"}`` where tK is
+    the count of triangles whose edge set contains exactly K edges first
+    seen in that batch. Σ delta over all batches = the triangle count of
+    the full edge set (algos.triangles semantics: undirected, self-loops
+    and duplicates collapsed).
+    """
+
+    cedges_dir: str
+    tri_dir: str
+    batches_run: int
+    batch_deltas: list
+
+
+def _triangle_batch(batch_df: DataFrame, batch_id: int, work_dir: str) -> dict:
+    """Fold one micro-batch of edges into the maintained triangle count.
+
+    Delta algebra (the triangle analogue of the resolver's ΔE terms):
+    every triangle of E_old ∪ D is counted exactly once, in the batch
+    where its LAST edge arrives, split by how many of its edges are in
+    that batch's delta D::
+
+        t1 = Σ_{(a,b) ∈ D} |{w : {a,w} ∈ E_old ∧ {b,w} ∈ E_old}|
+        t2 = wedges with BOTH arms in D closed by an E_old edge
+        t3 = triangles wholly inside D
+
+    Completeness/no-double-count: a triangle with exactly one delta edge
+    matches t1 for that edge only (its other two edges are old); with two
+    delta edges they share exactly one vertex — the wedge apex — so t2
+    sees it once (arms ordered y1 < y2); with three, t3's canonical
+    triple join counts it once. Cross-batch, "old" always means strictly
+    older batches, so each triangle is charged to exactly one batch.
+
+    Scale shape: D is canonicalized and DEDUPED against history (left
+    anti join), then BROADCAST into every join that touches the unbounded
+    side — E_old is scanned (two pruned columns) and hash-joined, never
+    self-joined. A per-batch full recount would re-run the wedge
+    enumeration of the ENTIRE graph (the cost center of batch triangle
+    counting); the incremental terms cost O(|D| · avg-degree) join rows
+    instead. Replay-safe like the resolver: both writes are deterministic
+    functions of (batch content, strictly-older batches) into overwritten
+    ``batch_id=`` partition dirs.
+    """
+    spark = batch_df.sparkSession
+    cedges_dir = os.path.join(work_dir, _CEDGES)
+    tri_dir = os.path.join(work_dir, _TRI)
+
+    canon_new = (
+        batch_df.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    cold = _read_history(
+        spark, cedges_dir, batch_id, "a long, b long"
+    ).select("a", "b")
+    d0 = canon_new.join(cold, ["a", "b"], "left_anti").localCheckpoint(eager=True)
+    d = F.broadcast(d0)
+
+    sym_old = cold.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        cold.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    # t1: delta edge (a, b) + two old arms to a common w.
+    n1 = sym_old.select(F.col("x").alias("x1"), F.col("y").alias("w"))
+    n2 = sym_old.select(F.col("x").alias("x2"), F.col("y").alias("w2"))
+    t1 = (
+        d.join(n1, d["a"] == n1["x1"])
+        .join(n2, (F.col("b") == F.col("x2")) & (F.col("w") == F.col("w2")))
+        .count()
+    )
+    # t2: wedge with both arms in D (apex x, arms y1 < y2), closed old.
+    sym_d = d.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        d.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    w1 = sym_d.select(F.col("x"), F.col("y").alias("y1"))
+    w2 = sym_d.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    wedges = F.broadcast(
+        w1.join(w2, (F.col("x") == F.col("x2")) & (F.col("y1") < F.col("y2")))
+        .select(F.col("y1").alias("a"), F.col("y2").alias("b"))
+    )
+    t2 = wedges.join(cold, ["a", "b"]).count()
+    # t3: canonical triple join inside D.
+    e1 = d.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e2 = d.select(F.col("a").alias("v2"), F.col("b").alias("w"))
+    e3 = d.select(F.col("a").alias("u3"), F.col("b").alias("w3"))
+    t3 = (
+        e1.join(e2, F.col("v") == F.col("v2"))
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .count()
+    )
+
+    d0.write.mode("overwrite").parquet(_part_dir(cedges_dir, batch_id))
+    rec = {
+        "batch_id": batch_id, "new_edges": d0.count(),
+        "t1": t1, "t2": t2, "t3": t3, "delta": t1 + t2 + t3,
+    }
+    spark.createDataFrame(
+        [(rec["new_edges"], t1, t2, t3, rec["delta"])],
+        "new_edges long, t1 long, t2 long, t3 long, delta long",
+    ).coalesce(1).write.mode("overwrite").parquet(_part_dir(tri_dir, batch_id))
+    return rec
+
+
+def maintain_triangle_count(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> TriangleResult:
+    """Maintain the global triangle count of a GROWING edge table
+    (``src long, dst long`` parquet files landing in ``source_dir``),
+    incrementally per micro-batch — the dynamic-graph companion to
+    algos.triangles (same undirected/dedup/no-self-loop semantics over
+    the union of all arrivals).
+
+    Same lane mechanics as ``ingest_corpus_stream``: AvailableNow drain,
+    checkpointed batch assignment, per-batch ``batch_id=`` lineage
+    partitions, replay = identical bytes. Call again after more edge
+    files land; ``read_triangle_count`` gives the running total."""
+    src = spark.readStream.schema("src long, dst long")
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = src.parquet(source_dir)
+
+    ran = {"n": 0, "deltas": []}
+
+    def process(bdf: DataFrame, bid: int) -> None:
+        ran["deltas"].append(_triangle_batch(bdf, bid, work_dir))
+        ran["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work_dir, _CKPT))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return TriangleResult(
+        cedges_dir=os.path.join(work_dir, _CEDGES),
+        tri_dir=os.path.join(work_dir, _TRI),
+        batches_run=ran["n"],
+        batch_deltas=ran["deltas"],
+    )
+
+
+def read_triangle_count(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The maintained global triangle count: one row ``(triangles)`` =
+    Σ per-batch deltas (each batch's row is a pure function of the
+    arrivals, so the sum is arrival-order invariant)."""
+    tri_dir = os.path.join(work_dir, _TRI)
+    return (
+        spark.read.option("basePath", tri_dir)
+        .parquet(tri_dir)
+        .agg(F.sum("delta").cast("long").alias("triangles"))
+    )

@@ -120,3 +120,86 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
         (r.repo, r.src_path, r.dst_path)
         for r in corpus.truth_edges.itertuples(index=False)
     }
+
+
+# ---------------------------------------------------------------------------
+# Incremental triangle counting (streaming.maintain_triangle_count)
+# ---------------------------------------------------------------------------
+
+def _tri_total(spark, work_dir) -> int:
+    from chaos_spark.streaming import read_triangle_count
+
+    return read_triangle_count(spark, work_dir).collect()[0]["triangles"]
+
+
+def _write_edge_files(spark, rows, path: str, n_files: int) -> None:
+    df = spark.createDataFrame(rows, "src long, dst long")
+    df.repartition(n_files).write.mode("append").parquet(path)
+
+
+def test_triangle_stream_equals_batch_count(spark, tmp_path):
+    """Split a triangle-rich graph across micro-batches; the maintained
+    total must equal algos.triangle_count over the union — with
+    duplicate, reversed, and self-loop edges sprinkled across batches."""
+    import random
+
+    from chaos_spark.algos import triangle_count
+    from chaos_spark.streaming import maintain_triangle_count
+
+    rng = random.Random(7)
+    n = 30
+    edges = [(i, j) for i in range(n) for j in range(i + 1, n)
+             if rng.random() < 0.25]
+    noisy = edges + [(b, a) for a, b in rng.sample(edges, 10)] + [(5, 5)]
+    rng.shuffle(noisy)
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _write_edge_files(spark, noisy, src_dir, n_files=6)
+    res = maintain_triangle_count(
+        spark, src_dir, work_dir, max_files_per_trigger=2
+    )
+    assert res.batches_run >= 3
+    want = triangle_count(spark, spark.createDataFrame(edges, "src long, dst long"))
+    assert _tri_total(spark, work_dir) == want
+    assert sum(d["delta"] for d in res.batch_deltas) == want
+
+
+def test_triangle_stream_delta_terms(spark, tmp_path):
+    """Constructed batches hitting each delta term exactly: a triangle
+    closed by one new edge (t1), by a new wedge over an old base (t2),
+    and one arriving whole in a single batch (t3)."""
+    from chaos_spark.streaming import maintain_triangle_count
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    # batch 1: wedge 1-2, 2-3 plus base edge 8-9 (no triangles yet)
+    _write_edge_files(spark, [(1, 2), (2, 3), (8, 9)], src_dir, 1)
+    r1 = maintain_triangle_count(spark, src_dir, work_dir)
+    assert [d["delta"] for d in r1.batch_deltas] == [0]
+    # batch 2: 1-3 closes the old wedge (t1); 8-10 + 9-10 form a new
+    # wedge over old 8-9 (t2); 20-21-22 arrives whole (t3).
+    _write_edge_files(
+        spark,
+        [(1, 3), (8, 10), (9, 10), (20, 21), (21, 22), (20, 22)],
+        src_dir, 1,
+    )
+    r2 = maintain_triangle_count(spark, src_dir, work_dir)
+    assert r2.batches_run == 1
+    d = r2.batch_deltas[0]
+    assert (d["t1"], d["t2"], d["t3"]) == (1, 1, 1)
+    assert _tri_total(spark, work_dir) == 3
+
+
+def test_triangle_stream_rearrival_is_noop(spark, tmp_path):
+    """Edges already in the maintained set (same or reversed direction)
+    arriving again must not change the count."""
+    from chaos_spark.streaming import maintain_triangle_count
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _write_edge_files(spark, [(1, 2), (2, 3), (1, 3)], src_dir, 1)
+    r1 = maintain_triangle_count(spark, src_dir, work_dir)
+    assert _tri_total(spark, work_dir) == 1
+    _write_edge_files(spark, [(2, 1), (3, 1), (2, 3)], src_dir, 1)
+    r2 = maintain_triangle_count(spark, src_dir, work_dir)
+    assert r2.batch_deltas[0]["new_edges"] == 0
+    assert r2.batch_deltas[0]["delta"] == 0
+    assert _tri_total(spark, work_dir) == 1
