@@ -152,9 +152,21 @@ def pagerank(
     weight_col: str | None = None,
     num_edges: int | None = None,
     init_ranks: DataFrame | None = None,
+    sources: list[int] | None = None,
 ) -> RunResult:
     """Run PageRank to L-inf convergence < ``tol``; returns RunResult whose
     ``state`` has columns ``(id, out_degree, rank)``.
+
+    ``sources``: PERSONALIZED PageRank (random walk with restart): the
+    teleport and the dangling redistribution both follow the preference
+    vector ``pref(v) = 1/|S|`` for v in ``sources`` else 0 instead of
+    the uniform 1/n — ``rank' = (1-d)·pref + d·(contrib + dangling·pref)``
+    with ``rank0 = pref`` (the standard power-iteration start; the
+    driver oracle unrolls exactly this recurrence). Vertices unreachable
+    from S converge to rank 0. pref is computed as a pure expression of
+    the id column (never stored in state), so checkpoints and resume are
+    unchanged; the source list is driver-literal — suited to the usual
+    few-seed restart sets, not million-seed vectors.
 
     ``weight_col``: weighted PageRank (SURVEY §2.2 option; [X13] type-2
     edges): duplicate (src, dst) weights are summed, out-links are
@@ -205,16 +217,28 @@ def pagerank(
                 if n_verts <= _broadcast_max_vertices(spark) and hub_threshold is None
                 else "shuffle"
             )
+        if sources is not None and not sources:
+            raise ValueError("sources must be a non-empty id list")
         if mode == "broadcast" and hub_threshold is None:
             return _pagerank_broadcast(
                 spark, edges, damping, tol, max_iters, p,
                 checkpointer, checkpoint_every, weight_col, init_ranks,
+                sources,
             )
         return _pagerank(
             spark, edges, damping, tol, max_iters, p, checkpointer,
             checkpoint_every, hub_threshold, salt_buckets, weight_col,
-            init_ranks,
+            init_ranks, sources,
         )
+
+
+def _pref_expr(sources, id_col=None):
+    """The preference vector as a pure Catalyst expression of the id
+    column — 1/|S| inside the source set, 0 outside."""
+    col = id_col if id_col is not None else F.col(ID)
+    return F.when(
+        col.isin([int(s) for s in sources]), F.lit(1.0 / len(sources))
+    ).otherwise(F.lit(0.0))
 
 
 def _validate_weights(edges, weight_col: str) -> None:
@@ -245,7 +269,7 @@ def _prep_weighted(edges, weight_col: str):
 
 def _pagerank_broadcast(
     spark, edges, damping, tol, max_iters, p, checkpointer, checkpoint_every,
-    weight_col=None, init_ranks=None,
+    weight_col=None, init_ranks=None, sources=None,
 ) -> RunResult:
     """Zero-shuffle superstep: edges hash-partitioned on dst ONCE; the
     sender vector (id, rank/outdeg) is broadcast; groupBy(dst) reuses the
@@ -272,7 +296,13 @@ def _pagerank_broadcast(
         deg = out_degrees(e)
 
     def init() -> DataFrame:
-        return _init_state(verts, deg, n, p, init_ranks)
+        st = _init_state(verts, deg, n, p, init_ranks)
+        if sources is not None and init_ranks is None:
+            # PPR power-iteration start: rank0 = pref (oracle recurrence).
+            st = materialize(
+                st.select(ID, "out_degree", _pref_expr(sources).alias("rank"))
+            )
+        return st
 
     state, start = resume_or_init(spark, checkpointer, init)
 
@@ -292,6 +322,13 @@ def _pagerank_broadcast(
             .groupBy(DST)
             .agg(F.sum(m_expr).alias("contrib"))
         )
+        if sources is None:
+            teleport = F.lit((1.0 - damping) / n)
+            dang_share = F.lit(dm / n)
+        else:
+            pref = _pref_expr(sources, cur[ID])
+            teleport = F.lit(1.0 - damping) * pref
+            dang_share = F.lit(dm) * pref
         new = cur.join(
             contribs.hint("shuffle_hash"), cur[ID] == contribs[DST], "left"
         ).select(
@@ -299,9 +336,9 @@ def _pagerank_broadcast(
             cur["out_degree"],
             cur["rank"].alias("_prev"),
             (
-                F.lit((1.0 - damping) / n)
+                teleport
                 + F.lit(damping)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dang_share)
             ).alias("rank"),
         )
         new, m = materialize_stats(
@@ -329,7 +366,7 @@ def _pagerank_broadcast(
 def _pagerank(
     spark, edges, damping, tol, max_iters, p, checkpointer,
     checkpoint_every, hub_threshold, salt_buckets, weight_col=None,
-    init_ranks=None,
+    init_ranks=None, sources=None,
 ) -> RunResult:
     weighted = weight_col is not None
     if weighted:
@@ -354,7 +391,13 @@ def _pagerank(
         deg = out_degrees(e)
 
     def init() -> DataFrame:
-        return _init_state(verts, deg, n, p, init_ranks)
+        st = _init_state(verts, deg, n, p, init_ranks)
+        if sources is not None and init_ranks is None:
+            # PPR power-iteration start: rank0 = pref (oracle recurrence).
+            st = materialize(
+                st.select(ID, "out_degree", _pref_expr(sources).alias("rank"))
+            )
+        return st
 
     state, start = resume_or_init(spark, checkpointer, init)
 
@@ -379,6 +422,13 @@ def _pagerank(
             contribs = salted_agg(msgs, "m", "sum").withColumnRenamed("m", "contrib")
         else:
             contribs = msgs.groupBy(DST).agg(F.sum("m").alias("contrib"))
+        if sources is None:
+            teleport = F.lit((1.0 - damping) / n)
+            dang_share = F.lit(dm / n)
+        else:
+            pref = _pref_expr(sources, cur[ID])
+            teleport = F.lit(1.0 - damping) * pref
+            dang_share = F.lit(dm) * pref
         new = cur.join(
             contribs.hint("shuffle_hash"), cur[ID] == contribs[DST], "left"
         ).select(
@@ -386,9 +436,9 @@ def _pagerank(
             cur["out_degree"],
             cur["rank"].alias("_prev"),
             (
-                F.lit((1.0 - damping) / n)
+                teleport
                 + F.lit(damping)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dang_share)
             ).alias("rank"),
         )
         new, m = materialize_stats(

@@ -152,6 +152,47 @@ def pagerank_sql(edges_sql: str, k: int, d: float = D, weighted: bool = False) -
     return _with(parts, f"SELECT id, ROUND(rank, 6) AS rank FROM st{k}")
 
 
+def ppr_sql(edges_sql: str, k: int, sources: list[int], d: float = D) -> str:
+    """Unrolled k-superstep PERSONALIZED PageRank — the pagerank_sql
+    recurrence with both teleport and dangling redistribution following
+    the preference vector pref(v) = 1/|S| on the source set (0 elsewhere)
+    and rank0 = pref; mirrors algos.pagerank(sources=...)."""
+    ns = len(sources)
+    in_list = ", ".join(str(int(s)) for s in sorted(sources))
+
+    def pref(col: str) -> str:
+        return (
+            f"(CASE WHEN {col} IN ({in_list})"
+            f" THEN CAST(1 AS DOUBLE)/{ns} ELSE CAST(0 AS DOUBLE) END)"
+        )
+
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"verts AS ({_VERTS})",
+        "deg AS (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src)",
+        f"st0 AS (SELECT v.id, COALESCE(d.od, 0) AS od, {pref('v.id')} AS rank"
+        " FROM verts v LEFT JOIN deg d USING(id))",
+    ]
+    for i in range(k):
+        parts.append(
+            f"dang{i} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm"
+            f" FROM st{i} WHERE od = 0)"
+        )
+        parts.append(
+            f"con{i} AS (SELECT e.dst AS id, SUM(s.rank / s.od) AS c"
+            f" FROM edges e JOIN st{i} s ON e.src = s.id AND s.od > 0"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"st{i + 1} AS (SELECT s.id, s.od,"
+            f" CAST({(1.0 - d)!r} AS DOUBLE) * {pref('s.id')}"
+            f" + CAST({d!r} AS DOUBLE) * (COALESCE(c.c, CAST(0 AS DOUBLE))"
+            f" + (SELECT dm FROM dang{i}) * {pref('s.id')}) AS rank"
+            f" FROM st{i} s LEFT JOIN con{i} c USING(id))"
+        )
+    return _with(parts, f"SELECT id, ROUND(rank, 6) AS rank FROM st{k}")
+
+
 def cc_sql(edges_sql: str, k: int) -> str:
     parts = [
         f"edges AS ({edges_sql})",
@@ -339,6 +380,32 @@ def q_pagerank_stream_k5(spark, sf_dir):
 
     e = cust_supp_edges(spark, sf_dir)
     res = pagerank_stream(spark, e, damping=D, tol=0.0, max_iters=5)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+_PPR_SOURCES = [1, 2, 3]  # customer seeds present at every sf
+
+
+def q_ppr_k5(spark, sf_dir):
+    """5-superstep PERSONALIZED PageRank (random walk with restart from
+    three customer seeds) through the join path — teleport and dangling
+    both follow the preference vector; verified against the unrolled
+    ppr_sql recurrence."""
+    e = cust_supp_edges(spark, sf_dir)
+    res = pagerank(spark, e, damping=D, tol=0.0, max_iters=5,
+                   sources=_PPR_SOURCES)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_ppr_stream_k5(spark, sf_dir):
+    """Same 5-superstep personalized PageRank through the fused slipstore
+    STREAM path (preference vector derived in-kernel) — same oracle,
+    proving the PPR stream superstep ≡ join path to the driver."""
+    from .stream import pagerank_stream
+
+    e = cust_supp_edges(spark, sf_dir)
+    res = pagerank_stream(spark, e, damping=D, tol=0.0, max_iters=5,
+                          sources=_PPR_SOURCES)
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -1988,6 +2055,8 @@ QUERIES = {
     "pagerank_csr_k5": q_pagerank_csr_k5,
     "pagerank_stream_k5": q_pagerank_stream_k5,
     "pagerank_resume_k5": q_pagerank_resume_k5,
+    "ppr_k5": q_ppr_k5,
+    "ppr_stream_k5": q_ppr_stream_k5,
     "cc_k6": q_cc_k6,
     "cc_warm_k6": q_cc_warm_k6,
     "cc_csr_k6": q_cc_csr_k,
@@ -2063,6 +2132,8 @@ ORACLES = {
     "pagerank_csr_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "pagerank_stream_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "pagerank_resume_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
+    "ppr_k5": ppr_sql(SQL_CUST_SUPP_EDGES, 5, _PPR_SOURCES),
+    "ppr_stream_k5": ppr_sql(SQL_CUST_SUPP_EDGES, 5, _PPR_SOURCES),
     "pagerank_warm_k5": pagerank_sql(SQL_CUST_SUPP_EDGES, 5),
     "cc_k6": cc_sql(SQL_PART_EDGES, 6),
     "cc_warm_k6": cc_sql(SQL_PART_EDGES, 6),

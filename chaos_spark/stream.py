@@ -243,8 +243,17 @@ def pagerank_stream(
     state_partitions: int | None = None,
     chain: int = 1,
     init_ranks: DataFrame | None = None,
+    sources: list[int] | None = None,
 ) -> RunResult:
     """PageRank over the fused streaming-partition superstep.
+
+    ``sources``: personalized PageRank — teleport and dangling
+    redistribution follow ``pref(v) = 1/|S|`` on the source set (0
+    elsewhere) and ``rank0 = pref``, the exact recurrence of
+    algos.pagerank(sources=...) and its unrolled oracle. The preference
+    vector is derived in-kernel from the partition's id vector
+    (np.isin against the closure-shipped sorted source array), so blobs,
+    update streams, and checkpoints are unchanged.
 
     Same semantics as algos.pagerank / csr.pagerank_csr: damping with
     dangling-mass redistribution, convergence when max |Δrank| < tol,
@@ -284,6 +293,18 @@ def pagerank_stream(
     token_, block_dir = g.cache_token, g.block_dir
     run_id = uuid.uuid4().hex[:8]
     damping = float(damping)
+    if sources is not None and not sources:
+        raise ValueError("sources must be a non-empty id list")
+    src_arr = (
+        None if sources is None
+        else np.unique(np.asarray(sorted(int(s) for s in sources), np.int64))
+    )
+
+    def _pref(ids: np.ndarray) -> np.ndarray | float:
+        """Per-partition preference vector (uniform 1/n when no sources)."""
+        if src_arr is None:
+            return 1.0 / n
+        return np.isin(ids, src_arr).astype(np.float64) / len(src_arr)
 
     def init_kernel(batches):
         # Fresh init: blob = uniform 1/n, aligned to the apply plan's
@@ -309,9 +330,12 @@ def pagerank_stream(
             )
         if "_prank" in pdf.columns:
             # Warm start: prior ranks ride the seed rows (left join on
-            # id); NaN = vertex absent from the prior -> 1/n.
+            # id); NaN = vertex absent from the prior -> 1/n (the join
+            # path's seed_ranks fill, sources or not).
             rank = pdf["_prank"].to_numpy(dtype=np.float64).copy()
             rank[np.isnan(rank)] = 1.0 / n
+        elif src_arr is not None:
+            rank = np.asarray(_pref(ids))  # PPR start: rank0 = pref
         else:
             rank = np.full(len(ids), 1.0 / n)
         yield pd.DataFrame({PART: [q], BLOB: [rank.tobytes()]})
@@ -354,7 +378,13 @@ def pagerank_stream(
                     dm = _dangling_mass(ud_in, qs)
                     contrib = _gather(plan, ud_in, p)
                     iod = np.asarray(plan["iod"])
-                    rank = (1.0 - damping) / n + damping * (contrib + dm / n)
+                    if src_arr is None:
+                        rank = (1.0 - damping) / n + damping * (contrib + dm / n)
+                    else:
+                        pref = _pref(np.asarray(plan["ids"]))
+                        rank = (1.0 - damping) * pref + damping * (
+                            contrib + dm * pref
+                        )
                     delta = float(np.max(np.abs(rank - prev))) if len(rank) else 0.0
                     t1 = _time.perf_counter()
                     blk = _load_disk_block(token_, q, block_dir)

@@ -99,3 +99,33 @@ def lpa_oracle(edges: pd.DataFrame, max_iters: int = 10) -> dict[int, int]:
         if not changed:
             break
     return label
+
+
+def ppr_oracle(
+    edges: pd.DataFrame, sources: list[int], damping: float = 0.85
+) -> dict[int, float]:
+    """Pure-Python personalized PageRank: teleport and dangling mass both
+    follow pref = 1/|S| on the source set; rank0 = pref. Iterated to
+    L1 err < 1e-13 (the algos.pagerank(sources=...) recurrence)."""
+    g = nx_digraph(edges)
+    nodes = list(g)
+    s = set(sources)
+    pref = {v: (1.0 / len(s) if v in s else 0.0) for v in nodes}
+    rank = dict(pref)
+    out_deg = {v: g.out_degree(v) for v in nodes}
+    for _ in range(2000):
+        dangling = sum(rank[v] for v in nodes if out_deg[v] == 0)
+        new = {
+            v: (1.0 - damping) * pref[v] + damping * dangling * pref[v]
+            for v in nodes
+        }
+        for u in nodes:
+            if out_deg[u]:
+                share = damping * rank[u] / out_deg[u]
+                for v in g.successors(u):
+                    new[v] += share
+        err = sum(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if err < 1e-13:
+            break
+    return rank

@@ -178,3 +178,73 @@ def test_pagerank_warm_start_new_vertices_and_mass_correction(spark):
     # mass excess contracts by d per superstep; at L-inf < 1e-9 a ~1e-8
     # residual is expected — the oracle match above is the real check
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (sources=...)
+# ---------------------------------------------------------------------------
+
+GRAPHS = {
+    "star_hub": g2_star,
+    "powerlaw": lambda: g4_powerlaw(scale=9, num_edges=3000),
+}
+
+
+def _ppr_sources(pdf):
+    ids = sorted(set(pdf["src"]) | set(pdf["dst"]))
+    return [ids[0], ids[len(ids) // 2]]
+
+
+@pytest.mark.parametrize("name", ["star_hub", "powerlaw"])
+def test_ppr_matches_oracle_both_modes(spark, name):
+    from tests.oracles import ppr_oracle
+
+    pdf = GRAPHS[name]()
+    srcs = _ppr_sources(pdf)
+    want = ppr_oracle(pdf, srcs)
+    edges = spark.createDataFrame(pdf)
+    for mode in ("shuffle", "broadcast"):
+        res = pagerank(spark, edges, tol=1e-12, max_iters=300,
+                       sources=srcs, mode=mode)
+        got = {r["id"]: r["rank"] for r in res.state.collect()}
+        assert got.keys() == want.keys()
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-8, (mode, v)
+
+
+def test_ppr_stream_equals_join_path(spark):
+    from chaos_spark.stream import pagerank_stream
+
+    pdf = GRAPHS["powerlaw"]()
+    srcs = _ppr_sources(pdf)
+    edges = spark.createDataFrame(pdf)
+    r_join = pagerank(spark, edges, tol=0.0, max_iters=5, sources=srcs,
+                      mode="shuffle")
+    r_str = pagerank_stream(spark, edges, tol=0.0, max_iters=5, sources=srcs)
+    a = {r["id"]: r["rank"] for r in r_join.state.collect()}
+    b = {r["id"]: r["rank"] for r in r_str.state.collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
+    assert r_join.supersteps == r_str.supersteps
+
+
+def test_ppr_unreachable_vertices_drain_to_zero(spark):
+    import pandas as pd
+
+    # 1 -> 2 -> 3 and isolated pair 10 -> 11; seed = {1}: the 10/11
+    # branch gets no teleport and no inbound walk — rank drains to 0.
+    pdf = pd.DataFrame({"src": [1, 2, 10], "dst": [2, 3, 11]})
+    res = pagerank(spark, spark.createDataFrame(pdf), tol=1e-12,
+                   max_iters=200, sources=[1])
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    assert got[10] < 1e-10 and got[11] < 1e-10
+    assert got[1] > 0.1  # the seed keeps its teleport share
+    # total mass stays a probability distribution over the reachable set
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_ppr_rejects_empty_sources(spark):
+    edges = spark.createDataFrame(GRAPHS["star_hub"]())
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank(spark, edges, sources=[])
