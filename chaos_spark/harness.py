@@ -1022,6 +1022,62 @@ def q_scc_stream(spark, sf_dir):
     return scc_stream(spark, e).state.select("id", "label")
 
 
+def q_random_walks_l4(spark, sf_dir):
+    """Deterministic random-walk corpus (chaos_spark.walks): one 4-hop
+    walk per vertex of the part graph, every hop chosen by
+    pmod(xxhash64(start, step, seed, cur), outdeg) over dst-ranked
+    adjacency — value-verified BIT-FOR-BIT by the XXH64 limb-math oracle
+    (random_walks_sql), the embedding-training corpus generator of the
+    pipeline suite."""
+    from .walks import random_walks
+
+    e = part_edges(spark, sf_dir)
+    return random_walks(spark, e, length=4, seed=42)
+
+
+def random_walks_sql(edges_sql: str, length: int, seed: int = 42) -> str:
+    """Exact SQL image of walks.random_walks: the same dst-ranked
+    adjacency, the same xxhash64(walk_id, step, seed, cur) choice chain
+    (XXH64 limb math, genoracle.py), the same dangling termination —
+    one MATERIALIZED CTE per hop."""
+    from .genoracle import _hash_int_steps, _hash_long_steps, _signed, _steps_from
+
+    parts = [
+        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) _e)",
+        "adj AS MATERIALIZED (SELECT src, dst,"
+        " ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx"
+        " FROM edges)",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od"
+        " FROM edges GROUP BY src)",
+        f"verts AS ({_VERTS})",
+        "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM verts)",
+    ]
+    for t in range(1, length + 1):
+        steps = [
+            *_hash_long_steps("CAST(walk_id AS UBIGINT)",
+                              "CAST(42 AS UBIGINT)", "h1", "a"),
+            *_hash_int_steps(t - 1, "h1", "h2", "b"),
+            *_hash_int_steps(seed, "h2", "h3", "c"),
+            *_hash_long_steps("CAST(cur AS UBIGINT)", "h3", "h4", "d"),
+            ("hs", _signed("h4")),
+            ("pick", "((hs % od) + od) % od"),
+        ]
+        inner = (
+            f"(SELECT w.walk_id, w.cur, d.od FROM w{t - 1} w"
+            f" JOIN deg d ON d.id = w.cur)"
+        )
+        rel = _steps_from(inner, ["walk_id", "cur", "od"], steps, f"t{t}_")
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT x.walk_id, a.dst AS cur"
+            f" FROM {rel} x JOIN adj a ON a.src = x.cur AND a.idx = x.pick)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS id FROM w{t}"
+        for t in range(length + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 def scc_sql(edges_sql: str) -> str:
     """Exact SCC oracle by definition (not by algorithm): transitive
     closure via recursive CTE, then label = min over the mutual set."""
@@ -2070,6 +2126,7 @@ QUERIES = {
     "pagerank_w_csr_k5": q_pagerank_w_csr_k5,
     "pagerank_w_stream_k5": q_pagerank_w_stream_k5,
     "rmat_edges": q_rmat_edges,
+    "random_walks_l4": q_random_walks_l4,
     "er_edges": q_er_edges,
     "triangle_count": q_triangle_count,
     "triangle_stream": q_triangle_stream,
@@ -2186,6 +2243,7 @@ ORACLES = {
     "media_meta": SQL_MEDIA_META,
     "dedup_lsh_cc": dedup_lsh_cc_sql(),
     "rmat_edges": _rmat_oracle_sql(),
+    "random_walks_l4": random_walks_sql(SQL_PART_EDGES, 4),
     "er_edges": _er_oracle_sql(),
     # rows-only (no SQL oracle): pagerank_converged (unbounded-k
     # convergence), hyperanf (unbounded-k — value-verified at fixed k via

@@ -1,0 +1,103 @@
+"""Deterministic distributed random walks — the embedding-corpus
+generator of a training-data pipeline (DeepWalk / node2vec-style walk
+sequences feed skip-gram embedding training; Perozzi et al. KDD'14).
+
+Every "random" choice derives from Spark's ``xxhash64`` — the same
+collect-free determinism move as the seeded graph generators
+(generators.py): at step t, a walk started at vertex s standing on
+vertex u hops to the ``pmod(xxhash64(s, t, seed, u), outdeg(u))``-th
+out-neighbor in dst-ascending order. No RNG state rides the executors,
+any parallelism produces the identical corpus, and a retried task
+recomputes identical rows. Because the choice hash is pure integer
+math, DuckDB reproduces the whole corpus BIT-FOR-BIT via the XXH64
+limb-math image (genoracle.py) — the ``random_walks_l4`` driver query
+is value-verified, not just shape-checked.
+
+Execution shape (scale review): the ranked adjacency (one row_number
+window over the deduped edges, shuffled by src ONCE) and the degree
+pre-pass are static and persisted; each step shuffles only the live
+WALK FRONTIER (≤ one row per walk) against them — hash joins on the
+walk's current vertex, the same per-superstep shape as BFS. Dangling
+vertices terminate their walks (inner join against the out-degree
+table), so the frontier only shrinks. L steps = L joins; states are
+materialized per step so the final union of L+1 frames carries no
+compounding lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .engine import choose_num_partitions, materialize, superstep_conf
+from .graph import DST, ID, SRC, dedup_edges, out_degrees, vertices_from_edges
+
+WALK, STEP, CUR = "walk_id", "step", "cur"
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    length: int,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Generate one walk of ``length`` hops from every start vertex
+    (default: every vertex — the DeepWalk one-walk-per-node corpus).
+
+    Returns ``(walk_id, step, id)``: walk_id = the start vertex, step =
+    0..length, id = the vertex visited at that step. A walk reaching a
+    dangling vertex terminates (no more rows). Deterministic for a given
+    (edge set, length, seed) at any parallelism; choice recurrence
+    documented in the module docstring and mirrored by the DuckDB oracle
+    (harness.random_walks_sql).
+    """
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    e = dedup_edges(edges)
+    p = num_partitions or choose_num_partitions(spark, e.count())
+    with superstep_conf(spark, p):
+        # Ranked adjacency: the idx-th out-neighbor of src in dst order.
+        adj = materialize(
+            e.withColumn(
+                "idx",
+                F.row_number().over(
+                    Window.partitionBy(SRC).orderBy(DST)
+                ) - F.lit(1),
+            ).repartition(p, F.col(SRC))
+        )
+        deg = materialize(out_degrees(e).repartition(p, F.col(ID)))
+        if starts is None:
+            starts = vertices_from_edges(e)
+        state = materialize(
+            starts.select(
+                F.col(ID).alias(WALK), F.col(ID).alias(CUR)
+            ).repartition(p, F.col(WALK))
+        )
+        frames = [state.select(WALK, F.lit(0).cast("long").alias(STEP),
+                               F.col(CUR).alias(ID))]
+        for t in range(1, length + 1):
+            hop = state.join(deg, state[CUR] == deg[ID]).select(
+                state[WALK],
+                state[CUR],
+                F.pmod(
+                    F.xxhash64(
+                        state[WALK], F.lit(t - 1), F.lit(seed), state[CUR]
+                    ),
+                    F.col("out_degree"),
+                ).alias("_idx"),
+            )
+            state = materialize(
+                hop.join(
+                    adj,
+                    (hop[CUR] == adj[SRC]) & (hop["_idx"] == adj["idx"]),
+                ).select(hop[WALK], adj[DST].alias(CUR))
+            )
+            frames.append(
+                state.select(WALK, F.lit(t).cast("long").alias(STEP),
+                             F.col(CUR).alias(ID))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out

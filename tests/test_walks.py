@@ -1,0 +1,81 @@
+"""Deterministic random walks (chaos_spark/walks.py).
+
+Contract: one walk per start vertex, every hop =
+pmod(xxhash64(start, step, seed, cur), outdeg(cur))-th dst-ranked
+out-neighbor, dangling terminates — bit-reproducible at any parallelism
+and by the pure-Python XXH64 references (the same three-layer proof as
+the generator oracles)."""
+
+import pandas as pd
+import pytest
+
+from chaos_spark.fixtures import g4_powerlaw
+from chaos_spark.genoracle import xxh64_int_py, xxh64_long_py
+from chaos_spark.walks import random_walks
+
+
+def _collect(df):
+    return {(r["walk_id"], r["step"], r["id"]) for r in df.collect()}
+
+
+def _simulate(pdf: pd.DataFrame, length: int, seed: int):
+    adj: dict[int, list[int]] = {}
+    for s, d in sorted(set(zip(pdf["src"], pdf["dst"]))):
+        adj.setdefault(int(s), []).append(int(d))
+    want = set()
+    for v in sorted(set(pdf["src"]) | set(pdf["dst"])):
+        v = int(v)
+        cur = v
+        want.add((v, 0, v))
+        for t in range(1, length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            h = xxh64_long_py(v, 42)
+            h = xxh64_int_py(t - 1, h)
+            h = xxh64_int_py(seed, h)
+            h = xxh64_long_py(cur, h)
+            hs = h - (1 << 64) if h >= (1 << 63) else h
+            cur = nbrs[hs % len(nbrs)]
+            want.add((v, t, cur))
+    return want
+
+
+def test_walks_match_python_simulation(spark):
+    pdf = g4_powerlaw(scale=8, num_edges=1500)
+    got = _collect(random_walks(spark, spark.createDataFrame(pdf), 5, seed=7))
+    assert got == _simulate(pdf, 5, 7)
+
+
+def test_walks_deterministic_across_runs_and_partitioning(spark):
+    pdf = g4_powerlaw(scale=8, num_edges=1500)
+    edges = spark.createDataFrame(pdf)
+    a = _collect(random_walks(spark, edges, 4))
+    b = _collect(random_walks(spark, edges.repartition(7), 4,
+                              num_partitions=2))
+    assert a == b
+
+
+def test_walks_follow_edges_and_terminate_at_dangling(spark):
+    # 1 -> 2 -> 3 (3 dangling): the only walk from 1 is 1,2,3 then stop.
+    pdf = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+    got = _collect(random_walks(spark, spark.createDataFrame(pdf), 10))
+    assert got == {
+        (1, 0, 1), (1, 1, 2), (1, 2, 3),
+        (2, 0, 2), (2, 1, 3),
+        (3, 0, 3),
+    }
+
+
+def test_walks_seed_changes_corpus(spark):
+    pdf = g4_powerlaw(scale=8, num_edges=1500)
+    edges = spark.createDataFrame(pdf)
+    a = _collect(random_walks(spark, edges, 4, seed=1))
+    b = _collect(random_walks(spark, edges, 4, seed=2))
+    assert a != b
+
+
+def test_walks_rejects_negative_length(spark):
+    pdf = pd.DataFrame({"src": [1], "dst": [2]})
+    with pytest.raises(ValueError, match="length"):
+        random_walks(spark, spark.createDataFrame(pdf), -1)
