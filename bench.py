@@ -104,6 +104,15 @@ def _session(cpus: int, shuffle: int | None = None) -> SparkSession:
 # Default mode — headline queries at the sf dir
 # ---------------------------------------------------------------------------
 
+def _calib_spin(_):
+    """Fixed per-core calibration workload (module-level: Pool-picklable)."""
+    import numpy as _np
+
+    a = _np.random.default_rng(1).random(2_000_000)
+    for _ in range(10):
+        (a * a + 1.0).sum()
+
+
 def _host_busy_check() -> dict:
     """Measurement-hygiene guard (r4: BENCH_r04 was recorded while a 512M
     scaling campaign saturated the same host — 133 s vs the 52.6 s the code
@@ -127,6 +136,30 @@ def _host_busy_check() -> dict:
         info["concurrent_jvms"] = int(out.stdout.strip() or 0)
     except (OSError, ValueError):
         info["concurrent_jvms"] = None
+    # CPU calibration constants: a FIXED numpy workload, single-thread and
+    # all-cores, timed in this very process. Steal accounting misses
+    # hypervisor pauses on some hosts (post-reboot r5 close: headline runs
+    # of 142.5/65.7/104.7 s back-to-back on an idle host, steal ~0, while
+    # the pre-reboot engine-stable number was 44.7 s x3) — these constants
+    # let a reader normalize records across host epochs instead of
+    # mistaking environment drift for engine regression.
+    try:
+        import numpy as _np
+        from multiprocessing import Pool as _Pool
+
+        a = _np.random.default_rng(0).random(2_000_000)
+        t0 = time.time()
+        for _ in range(20):
+            (a * a + 1.0).sum()
+        info["calib_1core_sec"] = round(time.time() - t0, 3)
+        ncpu = os.cpu_count() or 1
+        with _Pool(ncpu) as pool:
+            pool.map(_calib_spin, range(ncpu))  # warm the pool first
+            t0 = time.time()
+            pool.map(_calib_spin, range(ncpu))
+            info["calib_allcore_sec"] = round(time.time() - t0, 3)
+    except Exception:
+        info["calib_1core_sec"] = info["calib_allcore_sec"] = None
     busy = bool(
         (info.get("concurrent_jvms") or 0) > 0
         or (info["loadavg"] and info["loadavg"][0] > 4.0)
