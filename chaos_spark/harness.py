@@ -1035,7 +1035,18 @@ def q_random_walks_l4(spark, sf_dir):
     return random_walks(spark, e, length=4, seed=42)
 
 
-def random_walks_sql(edges_sql: str, length: int, seed: int = 42) -> str:
+def q_random_walks_l3_w2(spark, sf_dir):
+    """Multi-walk corpus: TWO independent walks per vertex (walk_id =
+    start*2 + j seeds the choice hash, so trajectories diverge) — same
+    bit-exact XXH64 oracle, exercising the num_walks fan-out."""
+    from .walks import random_walks
+
+    e = part_edges(spark, sf_dir)
+    return random_walks(spark, e, length=3, seed=42, num_walks=2)
+
+
+def random_walks_sql(edges_sql: str, length: int, seed: int = 42,
+                     num_walks: int = 1) -> str:
     """Exact SQL image of walks.random_walks: the same dst-ranked
     adjacency, the same xxhash64(walk_id, step, seed, cur) choice chain
     (XXH64 limb math, genoracle.py), the same dangling termination —
@@ -1050,7 +1061,13 @@ def random_walks_sql(edges_sql: str, length: int, seed: int = 42) -> str:
         "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od"
         " FROM edges GROUP BY src)",
         f"verts AS ({_VERTS})",
-        "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM verts)",
+        (
+            f"w0 AS MATERIALIZED (SELECT id * {num_walks} + j AS walk_id,"
+            f" id AS cur FROM verts CROSS JOIN"
+            f" (SELECT range AS j FROM range({num_walks})) _j)"
+            if num_walks > 1
+            else "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM verts)"
+        ),
     ]
     for t in range(1, length + 1):
         steps = [
@@ -2127,6 +2144,7 @@ QUERIES = {
     "pagerank_w_stream_k5": q_pagerank_w_stream_k5,
     "rmat_edges": q_rmat_edges,
     "random_walks_l4": q_random_walks_l4,
+    "random_walks_l3_w2": q_random_walks_l3_w2,
     "er_edges": q_er_edges,
     "triangle_count": q_triangle_count,
     "triangle_stream": q_triangle_stream,
@@ -2244,6 +2262,7 @@ ORACLES = {
     "dedup_lsh_cc": dedup_lsh_cc_sql(),
     "rmat_edges": _rmat_oracle_sql(),
     "random_walks_l4": random_walks_sql(SQL_PART_EDGES, 4),
+    "random_walks_l3_w2": random_walks_sql(SQL_PART_EDGES, 3, num_walks=2),
     "er_edges": _er_oracle_sql(),
     # rows-only (no SQL oracle): pagerank_converged (unbounded-k
     # convergence), hyperanf (unbounded-k — value-verified at fixed k via

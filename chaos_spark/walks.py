@@ -41,19 +41,26 @@ def random_walks(
     seed: int = 42,
     starts: DataFrame | None = None,
     num_partitions: int | None = None,
+    num_walks: int = 1,
 ) -> DataFrame:
-    """Generate one walk of ``length`` hops from every start vertex
-    (default: every vertex — the DeepWalk one-walk-per-node corpus).
+    """Generate ``num_walks`` walks of ``length`` hops from every start
+    vertex (default starts: every vertex — the DeepWalk corpus shape,
+    typically num_walks≈10–80 per node in the literature).
 
-    Returns ``(walk_id, step, id)``: walk_id = the start vertex, step =
-    0..length, id = the vertex visited at that step. A walk reaching a
-    dangling vertex terminates (no more rows). Deterministic for a given
-    (edge set, length, seed) at any parallelism; choice recurrence
-    documented in the module docstring and mirrored by the DuckDB oracle
-    (harness.random_walks_sql).
+    Returns ``(walk_id, step, id)``: walk_id = ``start * num_walks + j``
+    (j in [0, num_walks); for num_walks=1, walk_id == the start vertex),
+    step = 0..length, id = the vertex visited at that step. Distinct j
+    give independent trajectories because walk_id seeds the choice hash.
+    A walk reaching a dangling vertex terminates (no more rows).
+    Deterministic for a given (edge set, length, seed, num_walks) at any
+    parallelism; choice recurrence documented in the module docstring
+    and mirrored by the DuckDB oracle (harness.random_walks_sql). ANSI
+    mode raises loudly if ``start * num_walks`` would overflow int64.
     """
     if length < 0:
         raise ValueError("length must be >= 0")
+    if num_walks < 1:
+        raise ValueError("num_walks must be >= 1")
     e = dedup_edges(edges)
     p = num_partitions or choose_num_partitions(spark, e.count())
     with superstep_conf(spark, p):
@@ -69,11 +76,18 @@ def random_walks(
         deg = materialize(out_degrees(e).repartition(p, F.col(ID)))
         if starts is None:
             starts = vertices_from_edges(e)
-        state = materialize(
-            starts.select(
-                F.col(ID).alias(WALK), F.col(ID).alias(CUR)
-            ).repartition(p, F.col(WALK))
-        )
+        seed_rows = starts.select(F.col(ID).alias(CUR))
+        if num_walks > 1:
+            # Tiny k-row side: Catalyst broadcasts the nested-loop join.
+            seed_rows = seed_rows.crossJoin(
+                spark.range(num_walks).select(F.col("id").alias("_j"))
+            ).select(
+                (F.col(CUR) * F.lit(num_walks) + F.col("_j")).alias(WALK),
+                CUR,
+            )
+        else:
+            seed_rows = seed_rows.select(F.col(CUR).alias(WALK), CUR)
+        state = materialize(seed_rows.repartition(p, F.col(WALK)))
         frames = [state.select(WALK, F.lit(0).cast("long").alias(STEP),
                                F.col(CUR).alias(ID))]
         for t in range(1, length + 1):

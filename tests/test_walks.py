@@ -79,3 +79,46 @@ def test_walks_rejects_negative_length(spark):
     pdf = pd.DataFrame({"src": [1], "dst": [2]})
     with pytest.raises(ValueError, match="length"):
         random_walks(spark, spark.createDataFrame(pdf), -1)
+
+
+def test_multi_walks_per_vertex_diverge_and_match_simulation(spark):
+    pdf = g4_powerlaw(scale=8, num_edges=1500)
+    k = 3
+    got = _collect(random_walks(spark, spark.createDataFrame(pdf), 4,
+                                seed=7, num_walks=k))
+    # python simulation with walk_id = v*k + j
+    adj: dict[int, list[int]] = {}
+    for s, d in sorted(set(zip(pdf["src"], pdf["dst"]))):
+        adj.setdefault(int(s), []).append(int(d))
+    want = set()
+    for v in sorted(set(pdf["src"]) | set(pdf["dst"])):
+        for j in range(k):
+            wid = int(v) * k + j
+            cur = int(v)
+            want.add((wid, 0, cur))
+            for t in range(1, 5):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                h = xxh64_long_py(wid, 42)
+                h = xxh64_int_py(t - 1, h)
+                h = xxh64_int_py(7, h)
+                h = xxh64_long_py(cur, h)
+                hs = h - (1 << 64) if h >= (1 << 63) else h
+                cur = nbrs[hs % len(nbrs)]
+                want.add((wid, t, cur))
+    assert got == want
+    # trajectories for different j actually diverge somewhere
+    by_walk = {}
+    for wid, step, vid in got:
+        by_walk.setdefault(wid, {})[step] = vid
+    starts = {wid // k for wid in by_walk}
+    assert any(
+        by_walk.get(v * k) != by_walk.get(v * k + 1) for v in starts
+    )
+
+
+def test_walks_rejects_bad_num_walks(spark):
+    pdf = pd.DataFrame({"src": [1], "dst": [2]})
+    with pytest.raises(ValueError, match="num_walks"):
+        random_walks(spark, spark.createDataFrame(pdf), 2, num_walks=0)
