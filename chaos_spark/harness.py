@@ -1045,21 +1045,55 @@ def q_random_walks_l3_w2(spark, sf_dir):
     return random_walks(spark, e, length=3, seed=42, num_walks=2)
 
 
+def q_random_walks_w_l3(spark, sf_dir):
+    """WEIGHTED 3-hop walk corpus over the cust-supp graph (the same
+    deterministic 1+(src+dst)%5 weights the weighted-PageRank queries
+    use): each hop lands u*W(u) in the neighbor's cumulative-weight
+    range — verified bit-for-bit against the weighted XXH64 oracle."""
+    from .walks import random_walks
+
+    e = cust_supp_edges(spark, sf_dir).withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double"),
+    )
+    return random_walks(spark, e, length=3, seed=42, weight_col="weight")
+
+
 def random_walks_sql(edges_sql: str, length: int, seed: int = 42,
-                     num_walks: int = 1) -> str:
+                     num_walks: int = 1, weighted: bool = False) -> str:
     """Exact SQL image of walks.random_walks: the same dst-ranked
     adjacency, the same xxhash64(walk_id, step, seed, cur) choice chain
     (XXH64 limb math, genoracle.py), the same dangling termination —
-    one MATERIALIZED CTE per hop."""
+    one MATERIALIZED CTE per hop. ``weighted``: the edges view carries a
+    ``weight`` column and hops range-match u*W(u) into per-neighbor
+    cumulative-weight ranges (walks._weighted_walks' recurrence; the
+    last range closed)."""
     from .genoracle import _hash_int_steps, _hash_long_steps, _signed, _steps_from
 
+    two53 = 1 << 53
+    if weighted:
+        adj_parts = [
+            f"edges AS MATERIALIZED (SELECT src, dst, SUM(weight) AS w"
+            f" FROM ({edges_sql}) _e GROUP BY src, dst)",
+            "wadj AS MATERIALIZED (SELECT src, dst, w,"
+            " SUM(w) OVER (PARTITION BY src ORDER BY dst"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS cumw,"
+            " (ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst DESC) = 1)"
+            " AS is_last FROM edges)",
+            "deg AS MATERIALIZED (SELECT src AS id, SUM(w) AS sw"
+            " FROM edges GROUP BY src)",
+        ]
+    else:
+        adj_parts = [
+            f"edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) _e)",
+            "adj AS MATERIALIZED (SELECT src, dst,"
+            " ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx"
+            " FROM edges)",
+            "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od"
+            " FROM edges GROUP BY src)",
+        ]
     parts = [
-        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) _e)",
-        "adj AS MATERIALIZED (SELECT src, dst,"
-        " ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx"
-        " FROM edges)",
-        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od"
-        " FROM edges GROUP BY src)",
+        *adj_parts,
         f"verts AS ({_VERTS})",
         (
             f"w0 AS MATERIALIZED (SELECT id * {num_walks} + j AS walk_id,"
@@ -1070,24 +1104,42 @@ def random_walks_sql(edges_sql: str, length: int, seed: int = 42,
         ),
     ]
     for t in range(1, length + 1):
-        steps = [
+        hash_steps = [
             *_hash_long_steps("CAST(walk_id AS UBIGINT)",
                               "CAST(42 AS UBIGINT)", "h1", "a"),
             *_hash_int_steps(t - 1, "h1", "h2", "b"),
             *_hash_int_steps(seed, "h2", "h3", "c"),
             *_hash_long_steps("CAST(cur AS UBIGINT)", "h3", "h4", "d"),
             ("hs", _signed("h4")),
-            ("pick", "((hs % od) + od) % od"),
         ]
-        inner = (
-            f"(SELECT w.walk_id, w.cur, d.od FROM w{t - 1} w"
-            f" JOIN deg d ON d.id = w.cur)"
-        )
-        rel = _steps_from(inner, ["walk_id", "cur", "od"], steps, f"t{t}_")
-        parts.append(
-            f"w{t} AS MATERIALIZED (SELECT x.walk_id, a.dst AS cur"
-            f" FROM {rel} x JOIN adj a ON a.src = x.cur AND a.idx = x.pick)"
-        )
+        if weighted:
+            steps = [
+                *hash_steps,
+                ("ux", f"CAST(((hs % {two53}) + {two53}) % {two53}"
+                       f" AS DOUBLE) / {float(two53)!r} * sw"),
+            ]
+            inner = (
+                f"(SELECT w.walk_id, w.cur, d.sw FROM w{t - 1} w"
+                f" JOIN deg d ON d.id = w.cur)"
+            )
+            rel = _steps_from(inner, ["walk_id", "cur", "sw"], steps, f"t{t}_")
+            parts.append(
+                f"w{t} AS MATERIALIZED (SELECT x.walk_id, a.dst AS cur"
+                f" FROM {rel} x JOIN wadj a ON a.src = x.cur"
+                f" AND a.cumw <= x.ux"
+                f" AND (x.ux < a.cumw + a.w OR a.is_last))"
+            )
+        else:
+            steps = [*hash_steps, ("pick", "((hs % od) + od) % od")]
+            inner = (
+                f"(SELECT w.walk_id, w.cur, d.od FROM w{t - 1} w"
+                f" JOIN deg d ON d.id = w.cur)"
+            )
+            rel = _steps_from(inner, ["walk_id", "cur", "od"], steps, f"t{t}_")
+            parts.append(
+                f"w{t} AS MATERIALIZED (SELECT x.walk_id, a.dst AS cur"
+                f" FROM {rel} x JOIN adj a ON a.src = x.cur AND a.idx = x.pick)"
+            )
     sel = " UNION ALL ".join(
         f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS id FROM w{t}"
         for t in range(length + 1)
@@ -2145,6 +2197,7 @@ QUERIES = {
     "rmat_edges": q_rmat_edges,
     "random_walks_l4": q_random_walks_l4,
     "random_walks_l3_w2": q_random_walks_l3_w2,
+    "random_walks_w_l3": q_random_walks_w_l3,
     "er_edges": q_er_edges,
     "triangle_count": q_triangle_count,
     "triangle_stream": q_triangle_stream,
@@ -2263,6 +2316,7 @@ ORACLES = {
     "rmat_edges": _rmat_oracle_sql(),
     "random_walks_l4": random_walks_sql(SQL_PART_EDGES, 4),
     "random_walks_l3_w2": random_walks_sql(SQL_PART_EDGES, 3, num_walks=2),
+    "random_walks_w_l3": random_walks_sql(SQL_WEIGHTED_EDGES, 3, weighted=True),
     "er_edges": _er_oracle_sql(),
     # rows-only (no SQL oracle): pagerank_converged (unbounded-k
     # convergence), hyperanf (unbounded-k — value-verified at fixed k via

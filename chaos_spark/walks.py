@@ -42,6 +42,7 @@ def random_walks(
     starts: DataFrame | None = None,
     num_partitions: int | None = None,
     num_walks: int = 1,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Generate ``num_walks`` walks of ``length`` hops from every start
     vertex (default starts: every vertex — the DeepWalk corpus shape,
@@ -56,11 +57,30 @@ def random_walks(
     parallelism; choice recurrence documented in the module docstring
     and mirrored by the DuckDB oracle (harness.random_walks_sql). ANSI
     mode raises loudly if ``start * num_walks`` would overflow int64.
+
+    ``weight_col``: WEIGHTED walks — the hop picks neighbor e with
+    probability w(e)/W(u): the same choice hash maps to a uniform
+    ``u = pmod(hash, 2^53)/2^53`` (the generator-oracle construction)
+    and the walk takes the neighbor whose cumulative-weight range
+    [cumw, cumw+w) in dst order contains ``u·W(u)`` (the last range is
+    closed, so a pick that rounds to exactly W(u) still lands).
+    Duplicate (src, dst) weights are summed; weights must be strictly
+    positive. Exact cross-engine value parity (and exact
+    any-parallelism determinism of the aggregate W) holds when weights
+    are integer-representable doubles — float64 sums of such values
+    are association-free; arbitrary float weights stay deterministic
+    for a fixed Spark configuration but their aggregate sums are
+    association-sensitive in the last bits.
     """
     if length < 0:
         raise ValueError("length must be >= 0")
     if num_walks < 1:
         raise ValueError("num_walks must be >= 1")
+    if weight_col is not None:
+        return _weighted_walks(
+            spark, edges, length, seed, starts, num_partitions,
+            num_walks, weight_col,
+        )
     e = dedup_edges(edges)
     p = num_partitions or choose_num_partitions(spark, e.count())
     with superstep_conf(spark, p):
@@ -106,6 +126,100 @@ def random_walks(
                     adj,
                     (hop[CUR] == adj[SRC]) & (hop["_idx"] == adj["idx"]),
                 ).select(hop[WALK], adj[DST].alias(CUR))
+            )
+            frames.append(
+                state.select(WALK, F.lit(t).cast("long").alias(STEP),
+                             F.col(CUR).alias(ID))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+
+_TWO53 = 1 << 53
+
+
+def _weighted_walks(
+    spark, edges, length, seed, starts, num_partitions, num_walks,
+    weight_col,
+) -> DataFrame:
+    """Weight-proportional hops (see random_walks docstring): static
+    cumulative-weight adjacency built once, each step joins the walk
+    frontier against the out-strength table, maps the choice hash to a
+    uniform double, and range-matches u·W(u) into the neighbor ranges
+    (filter after an equi-join on the current vertex — the candidate
+    set per walk is deg(cur), the same row volume one scatter superstep
+    touches)."""
+    e = (
+        edges.select(SRC, DST, F.col(weight_col).cast("double").alias("w"))
+        .groupBy(SRC, DST)
+        .agg(F.sum("w").alias("w"))
+    )
+    bad = e.where(F.col("w").isNull() | (F.col("w") <= 0)).first()
+    if bad is not None:
+        raise ValueError(
+            f"weighted walks require strictly positive non-NULL weights; "
+            f"offending edge: {bad.asDict()}"
+        )
+    p = num_partitions or choose_num_partitions(spark, e.count())
+    with superstep_conf(spark, p):
+        win = Window.partitionBy(SRC).orderBy(DST)
+        wadj = materialize(
+            e.select(
+                SRC, DST, "w",
+                (F.sum("w").over(
+                    win.rowsBetween(Window.unboundedPreceding, 0)
+                ) - F.col("w")).alias("cumw"),
+                (F.row_number().over(
+                    Window.partitionBy(SRC).orderBy(F.desc(DST))
+                ) == 1).alias("is_last"),
+            ).repartition(p, F.col(SRC))
+        )
+        strength = materialize(
+            e.groupBy(F.col(SRC).alias(ID)).agg(F.sum("w").alias("sw"))
+            .repartition(p, F.col(ID))
+        )
+        if starts is None:
+            starts = vertices_from_edges(e)
+        seed_rows = starts.select(F.col(ID).alias(CUR))
+        if num_walks > 1:
+            seed_rows = seed_rows.crossJoin(
+                spark.range(num_walks).select(F.col("id").alias("_j"))
+            ).select(
+                (F.col(CUR) * F.lit(num_walks) + F.col("_j")).alias(WALK),
+                CUR,
+            )
+        else:
+            seed_rows = seed_rows.select(F.col(CUR).alias(WALK), CUR)
+        state = materialize(seed_rows.repartition(p, F.col(WALK)))
+        frames = [state.select(WALK, F.lit(0).cast("long").alias(STEP),
+                               F.col(CUR).alias(ID))]
+        for t in range(1, length + 1):
+            hop = state.join(strength, state[CUR] == strength[ID]).select(
+                state[WALK],
+                state[CUR],
+                (
+                    F.pmod(
+                        F.xxhash64(
+                            state[WALK], F.lit(t - 1), F.lit(seed),
+                            state[CUR],
+                        ),
+                        F.lit(_TWO53),
+                    ).cast("double") / F.lit(float(_TWO53))
+                    * F.col("sw")
+                ).alias("_x"),
+            )
+            state = materialize(
+                hop.join(wadj, hop[CUR] == wadj[SRC])
+                .where(
+                    (F.col("cumw") <= F.col("_x"))
+                    & (
+                        (F.col("_x") < F.col("cumw") + F.col("w"))
+                        | F.col("is_last")
+                    )
+                )
+                .select(hop[WALK], wadj[DST].alias(CUR))
             )
             frames.append(
                 state.select(WALK, F.lit(t).cast("long").alias(STEP),

@@ -122,3 +122,65 @@ def test_walks_rejects_bad_num_walks(spark):
     pdf = pd.DataFrame({"src": [1], "dst": [2]})
     with pytest.raises(ValueError, match="num_walks"):
         random_walks(spark, spark.createDataFrame(pdf), 2, num_walks=0)
+
+
+def test_weighted_walks_match_simulation_and_prefer_heavy_edges(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "src": rng.integers(1, 40, 300), "dst": rng.integers(1, 40, 300),
+    })
+    pdf["weight"] = (1 + (pdf["src"] + pdf["dst"]) % 5).astype(float)
+    got = _collect(random_walks(
+        spark, spark.createDataFrame(pdf), 3, weight_col="weight"
+    ))
+
+    TWO53 = 1 << 53
+    agg = pdf.groupby(["src", "dst"], as_index=False)["weight"].sum()
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for s, d, w in agg.sort_values(["src", "dst"]).itertuples(index=False):
+        adj.setdefault(int(s), []).append((int(d), float(w)))
+    want = set()
+    for v in sorted(set(pdf["src"]) | set(pdf["dst"])):
+        v = int(v)
+        cur = v
+        want.add((v, 0, v))
+        for t in range(1, 4):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            sw = sum(w for _, w in nbrs)  # integer-valued: exact
+            h = xxh64_long_py(v, 42)
+            h = xxh64_int_py(t - 1, h)
+            h = xxh64_int_py(42, h)
+            h = xxh64_long_py(cur, h)
+            hs = h - (1 << 64) if h >= (1 << 63) else h
+            x = (((hs % TWO53) + TWO53) % TWO53) / TWO53 * sw
+            cumw, pick = 0.0, None
+            for i, (d, w) in enumerate(nbrs):
+                if cumw <= x and (x < cumw + w or i == len(nbrs) - 1):
+                    pick = d
+                    break
+                cumw += w
+            cur = pick
+            want.add((v, t, cur))
+    assert got == want
+    # heavy-edge preference: a 2-neighbor vertex with weights 1 vs 99
+    # sends nearly all of many walks down the heavy edge
+    skew = pd.DataFrame({
+        "src": [1, 1], "dst": [2, 3], "weight": [1.0, 99.0],
+    })
+    walks = random_walks(
+        spark, spark.createDataFrame(skew), 1, weight_col="weight",
+        num_walks=50,
+    )
+    picks = [r["id"] for r in walks.where("step = 1").collect()]
+    assert picks.count(3) > 40
+
+
+def test_weighted_walks_reject_bad_weights(spark):
+    pdf = pd.DataFrame({"src": [1], "dst": [2], "weight": [0.0]})
+    with pytest.raises(ValueError, match="positive"):
+        random_walks(spark, spark.createDataFrame(pdf), 2,
+                     weight_col="weight")
