@@ -1147,6 +1147,116 @@ def random_walks_sql(edges_sql: str, length: int, seed: int = 42,
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
+def q_node2vec_l3(spark, sf_dir):
+    """node2vec biased walk corpus (p=2 discourages returning, q=0.5
+    favors exploring) over the part graph, 3 hops — second-order bias
+    verified bit-for-bit against the node2vec_sql XXH64 oracle (1/p and
+    1/q are powers of two, keeping every biased sum association-free)."""
+    from .walks import node2vec_walks
+
+    e = part_edges(spark, sf_dir)
+    return node2vec_walks(spark, e, length=3, p=2.0, q=0.5, seed=42)
+
+
+def node2vec_sql(edges_sql: str, length: int, p: float, q: float,
+                 seed: int = 42, weighted: bool = False) -> str:
+    """Exact SQL image of walks.node2vec_walks: first hop = the weighted
+    first-order pick, later hops re-weight candidates by the return /
+    neighborhood / explore bias (membership = a LEFT JOIN on
+    (prev, candidate)) and range-match u*W' over per-walk window sums.
+    Exact parity needs 1/p, 1/q, and the weights exactly representable
+    (see the walks docstring)."""
+    from .genoracle import _hash_int_steps, _hash_long_steps, _signed, _steps_from
+
+    two53 = 1 << 53
+    ret_b, exp_b = 1.0 / p, 1.0 / q
+    if weighted:
+        e_cte = (
+            f"edges AS MATERIALIZED (SELECT src, dst, SUM(weight) AS w"
+            f" FROM ({edges_sql}) _e GROUP BY src, dst)"
+        )
+    else:
+        e_cte = (
+            f"edges AS MATERIALIZED (SELECT DISTINCT src, dst,"
+            f" CAST(1 AS DOUBLE) AS w FROM ({edges_sql}) _e)"
+        )
+    parts = [
+        e_cte,
+        "wadj AS MATERIALIZED (SELECT src, dst, w,"
+        " SUM(w) OVER (PARTITION BY src ORDER BY dst"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS cumw,"
+        " (ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst DESC) = 1)"
+        " AS is_last FROM edges)",
+        "deg AS MATERIALIZED (SELECT src AS id, SUM(w) AS sw"
+        " FROM edges GROUP BY src)",
+        f"verts AS ({_VERTS})",
+        "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM verts)",
+    ]
+
+    def hash_steps(t):
+        return [
+            *_hash_long_steps("CAST(walk_id AS UBIGINT)",
+                              "CAST(42 AS UBIGINT)", "h1", "a"),
+            *_hash_int_steps(t - 1, "h1", "h2", "b"),
+            *_hash_int_steps(seed, "h2", "h3", "c"),
+            *_hash_long_steps("CAST(cur AS UBIGINT)", "h3", "h4", "d"),
+            ("hs", _signed("h4")),
+        ]
+
+    if length >= 1:
+        steps = [
+            *hash_steps(1),
+            ("ux", f"CAST(((hs % {two53}) + {two53}) % {two53}"
+                   f" AS DOUBLE) / {float(two53)!r} * sw"),
+        ]
+        inner = ("(SELECT w.walk_id, w.cur, d.sw FROM w0 w"
+                 " JOIN deg d ON d.id = w.cur)")
+        rel = _steps_from(inner, ["walk_id", "cur", "sw"], steps, "t1_")
+        parts.append(
+            f"w1 AS MATERIALIZED (SELECT x.walk_id, x.cur AS prev,"
+            f" a.dst AS cur FROM {rel} x JOIN wadj a ON a.src = x.cur"
+            f" AND a.cumw <= x.ux"
+            f" AND (x.ux < a.cumw + a.w OR a.is_last))"
+        )
+    for t in range(2, length + 1):
+        steps = [
+            *hash_steps(t),
+            ("uu", f"CAST(((hs % {two53}) + {two53}) % {two53}"
+                   f" AS DOUBLE) / {float(two53)!r}"),
+        ]
+        inner = f"(SELECT walk_id, prev, cur FROM w{t - 1})"
+        rel = _steps_from(inner, ["walk_id", "prev", "cur"], steps, f"t{t}_")
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT x.walk_id, x.prev, x.cur, a.dst AS nxt, x.uu,
+         a.w * (CASE WHEN a.dst = x.prev THEN {ret_b!r}
+                     WHEN m.src IS NOT NULL THEN 1.0
+                     ELSE {exp_b!r} END) AS wb
+  FROM {rel} x JOIN wadj a ON a.src = x.cur
+  LEFT JOIN edges m ON m.src = x.prev AND m.dst = a.dst
+)"""
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT walk_id, cur AS prev, nxt AS cur FROM (
+    SELECT walk_id, cur, nxt, uu, wb,
+      SUM(wb) OVER (PARTITION BY walk_id ORDER BY nxt
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - wb AS cum,
+      SUM(wb) OVER (PARTITION BY walk_id) AS tot,
+      (ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY nxt DESC) = 1)
+        AS lastf
+    FROM c{t}) z
+  WHERE cum <= uu * tot AND (uu * tot < cum + wb OR lastf)
+)"""
+        )
+    sels = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS id FROM w0"]
+    for t in range(1, length + 1):
+        sels.append(
+            f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS id FROM w{t}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(sels)
+
+
 def scc_sql(edges_sql: str) -> str:
     """Exact SCC oracle by definition (not by algorithm): transitive
     closure via recursive CTE, then label = min over the mutual set."""
@@ -2198,6 +2308,7 @@ QUERIES = {
     "random_walks_l4": q_random_walks_l4,
     "random_walks_l3_w2": q_random_walks_l3_w2,
     "random_walks_w_l3": q_random_walks_w_l3,
+    "node2vec_l3": q_node2vec_l3,
     "er_edges": q_er_edges,
     "triangle_count": q_triangle_count,
     "triangle_stream": q_triangle_stream,
@@ -2317,6 +2428,7 @@ ORACLES = {
     "random_walks_l4": random_walks_sql(SQL_PART_EDGES, 4),
     "random_walks_l3_w2": random_walks_sql(SQL_PART_EDGES, 3, num_walks=2),
     "random_walks_w_l3": random_walks_sql(SQL_WEIGHTED_EDGES, 3, weighted=True),
+    "node2vec_l3": node2vec_sql(SQL_PART_EDGES, 3, 2.0, 0.5),
     "er_edges": _er_oracle_sql(),
     # rows-only (no SQL oracle): pagerank_converged (unbounded-k
     # convergence), hyperanf (unbounded-k — value-verified at fixed k via

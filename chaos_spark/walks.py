@@ -229,3 +229,173 @@ def _weighted_walks(
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+    num_partitions: int | None = None,
+    num_walks: int = 1,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Second-order biased walks (node2vec; Grover & Leskovec KDD'16):
+    the first hop is the plain (weighted) first-order pick; from then on
+    a candidate edge (cur -> x, w) is re-weighted by the search bias
+    ``1/p`` if x == prev (return), ``1`` if the edge prev -> x exists
+    (stay in prev's neighborhood), else ``1/q`` (explore), and the hop
+    range-matches ``u·W'`` into the biased cumulative ranges exactly
+    like the weighted first-order walk.
+
+    Same determinism story as random_walks (the u uniform comes from the
+    same xxhash64 chain); exact cross-engine oracle parity additionally
+    needs 1/p and 1/q to be exactly-representable doubles (powers of two
+    in the driver query) so the biased sums stay association-free. Each
+    step costs two equi-joins (candidates on cur; membership on
+    (prev, x)) plus per-walk window sums over the candidate set —
+    deg(cur) rows per walk, the scatter-superstep volume.
+
+    Returns ``(walk_id, step, id)`` with the random_walks conventions
+    (walk_id = start*num_walks + j, dangling terminates)."""
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    if num_walks < 1:
+        raise ValueError("num_walks must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    if weight_col is not None:
+        e = (
+            edges.select(SRC, DST, F.col(weight_col).cast("double").alias("w"))
+            .groupBy(SRC, DST)
+            .agg(F.sum("w").alias("w"))
+        )
+        bad = e.where(F.col("w").isNull() | (F.col("w") <= 0)).first()
+        if bad is not None:
+            raise ValueError(
+                f"weighted walks require strictly positive non-NULL weights; "
+                f"offending edge: {bad.asDict()}"
+            )
+    else:
+        e = dedup_edges(edges).withColumn("w", F.lit(1.0))
+    np_ = num_partitions or choose_num_partitions(spark, e.count())
+    ret_b, exp_b = 1.0 / p, 1.0 / q
+    with superstep_conf(spark, np_):
+        win = Window.partitionBy(SRC).orderBy(DST)
+        wadj = materialize(
+            e.select(
+                SRC, DST, "w",
+                (F.sum("w").over(
+                    win.rowsBetween(Window.unboundedPreceding, 0)
+                ) - F.col("w")).alias("cumw"),
+                (F.row_number().over(
+                    Window.partitionBy(SRC).orderBy(F.desc(DST))
+                ) == 1).alias("is_last"),
+            ).repartition(np_, F.col(SRC))
+        )
+        strength = materialize(
+            e.groupBy(F.col(SRC).alias(ID)).agg(F.sum("w").alias("sw"))
+            .repartition(np_, F.col(ID))
+        )
+        mem = materialize(
+            e.select(F.col(SRC).alias("_ms"), F.col(DST).alias("_md"))
+            .repartition(np_, F.col("_ms"))
+        )
+        if starts is None:
+            starts = vertices_from_edges(e)
+        seed_rows = starts.select(F.col(ID).alias(CUR))
+        if num_walks > 1:
+            seed_rows = seed_rows.crossJoin(
+                spark.range(num_walks).select(F.col("id").alias("_j"))
+            ).select(
+                (F.col(CUR) * F.lit(num_walks) + F.col("_j")).alias(WALK),
+                CUR,
+            )
+        else:
+            seed_rows = seed_rows.select(F.col(CUR).alias(WALK), CUR)
+        state0 = materialize(seed_rows.repartition(np_, F.col(WALK)))
+        frames = [state0.select(WALK, F.lit(0).cast("long").alias(STEP),
+                                F.col(CUR).alias(ID))]
+
+        def uniform(df, t):
+            return (
+                F.pmod(
+                    F.xxhash64(df[WALK], F.lit(t - 1), F.lit(seed), df[CUR]),
+                    F.lit(_TWO53),
+                ).cast("double") / F.lit(float(_TWO53))
+            )
+
+        # First hop: first-order weighted pick (no prev yet).
+        hop = state0.join(strength, state0[CUR] == strength[ID]).select(
+            state0[WALK], state0[CUR],
+            (uniform(state0, 1) * F.col("sw")).alias("_x"),
+        )
+        state = materialize(
+            hop.join(wadj, hop[CUR] == wadj[SRC])
+            .where(
+                (F.col("cumw") <= F.col("_x"))
+                & ((F.col("_x") < F.col("cumw") + F.col("w"))
+                   | F.col("is_last"))
+            )
+            .select(hop[WALK], hop[CUR].alias("prev"), wadj[DST].alias(CUR))
+        )
+        if length >= 1:
+            frames.append(
+                state.select(WALK, F.lit(1).cast("long").alias(STEP),
+                             F.col(CUR).alias(ID))
+            )
+        for t in range(2, length + 1):
+            cand = (
+                state.withColumn("_u", uniform(state, t))
+                .join(wadj, state[CUR] == wadj[SRC])
+                .join(
+                    mem,
+                    (state["prev"] == F.col("_ms"))
+                    & (wadj[DST] == F.col("_md")),
+                    "left",
+                )
+                .select(
+                    state[WALK], state["prev"], state[CUR],
+                    wadj[DST].alias("_nxt"), F.col("_u"),
+                    (
+                        F.col("w")
+                        * F.when(wadj[DST] == state["prev"], F.lit(ret_b))
+                        .when(F.col("_ms").isNotNull(), F.lit(1.0))
+                        .otherwise(F.lit(exp_b))
+                    ).alias("_wb"),
+                )
+            )
+            wwin = Window.partitionBy(WALK).orderBy("_nxt")
+            ranked = cand.select(
+                WALK, "prev", CUR, "_nxt", "_u", "_wb",
+                (F.sum("_wb").over(
+                    wwin.rowsBetween(Window.unboundedPreceding, 0)
+                ) - F.col("_wb")).alias("_cum"),
+                F.sum("_wb").over(Window.partitionBy(WALK)).alias("_tot"),
+                (F.row_number().over(
+                    Window.partitionBy(WALK).orderBy(F.desc("_nxt"))
+                ) == 1).alias("_last"),
+            )
+            state = materialize(
+                ranked.where(
+                    (F.col("_cum") <= F.col("_u") * F.col("_tot"))
+                    & (
+                        (F.col("_u") * F.col("_tot")
+                         < F.col("_cum") + F.col("_wb"))
+                        | F.col("_last")
+                    )
+                ).select(
+                    WALK, F.col(CUR).alias("prev"), F.col("_nxt").alias(CUR)
+                )
+            )
+            frames.append(
+                state.select(WALK, F.lit(t).cast("long").alias(STEP),
+                             F.col(CUR).alias(ID))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out

@@ -184,3 +184,94 @@ def test_weighted_walks_reject_bad_weights(spark):
     with pytest.raises(ValueError, match="positive"):
         random_walks(spark, spark.createDataFrame(pdf), 2,
                      weight_col="weight")
+
+
+def _n2v_simulate(pdf, length, p, q, seed):
+    TWO53 = 1 << 53
+    eset = set(zip(pdf["src"].astype(int), pdf["dst"].astype(int)))
+    adj: dict[int, list[int]] = {}
+    for s, d in sorted(eset):
+        adj.setdefault(s, []).append(d)
+
+    def unif(wid, t, cur):
+        h = xxh64_long_py(wid, 42)
+        h = xxh64_int_py(t - 1, h)
+        h = xxh64_int_py(seed, h)
+        h = xxh64_long_py(cur, h)
+        hs = h - (1 << 64) if h >= (1 << 63) else h
+        return (((hs % TWO53) + TWO53) % TWO53) / TWO53
+
+    want = set()
+    for v in sorted(set(pdf["src"]) | set(pdf["dst"])):
+        v = int(v)
+        cur, prev = v, None
+        want.add((v, 0, v))
+        for t in range(1, length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            if t == 1:
+                ws = [1.0] * len(nbrs)
+            else:
+                ws = [
+                    (1.0 / p if x == prev
+                     else (1.0 if (prev, x) in eset else 1.0 / q))
+                    for x in nbrs
+                ]
+            x_val = unif(v, t, cur) * sum(ws)
+            cum, pick = 0.0, None
+            for i, (d, w) in enumerate(zip(nbrs, ws)):
+                if cum <= x_val and (x_val < cum + w or i == len(nbrs) - 1):
+                    pick = d
+                    break
+                cum += w
+            prev, cur = cur, pick
+            want.add((v, t, cur))
+    return want
+
+
+def test_node2vec_matches_simulation(spark):
+    from chaos_spark.walks import node2vec_walks
+
+    pdf = g4_powerlaw(scale=8, num_edges=1500)
+    got = _collect(node2vec_walks(
+        spark, spark.createDataFrame(pdf), 4, p=2.0, q=0.5, seed=7
+    ))
+    assert got == _n2v_simulate(pdf, 4, 2.0, 0.5, 7)
+
+
+def test_node2vec_return_bias_steers_walks(spark):
+    from chaos_spark.walks import node2vec_walks
+
+    # Star with center 0 <-> leaves: from a leaf the only move is back
+    # to the center; from the center, tiny p makes returning to the
+    # arrival leaf overwhelmingly likely, huge p makes it vanishingly so.
+    import pandas as pd
+
+    leaves = list(range(1, 9))
+    pdf = pd.DataFrame({
+        "src": [0] * 8 + leaves, "dst": leaves + [0] * 8,
+    })
+    edges = spark.createDataFrame(pdf)
+
+    def returns(p, q):
+        rows = node2vec_walks(
+            spark, edges, 3, p=p, q=q, seed=11, num_walks=16,
+            starts=spark.createDataFrame([(0,)], "id long"),
+        ).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r["walk_id"], {})[r["step"]] = r["id"]
+        return sum(1 for w in by.values() if w.get(1) == w.get(3))
+
+    # p = 1/1024: bias to return ~1024x; p = 1024: bias ~1/1024.
+    assert returns(1.0 / 1024, 1.0) >= 14
+    assert returns(1024.0, 1.0) <= 2
+
+
+def test_node2vec_rejects_bad_pq(spark):
+    from chaos_spark.walks import node2vec_walks
+
+    pdf = pd.DataFrame({"src": [1], "dst": [2]})
+    with pytest.raises(ValueError, match="p and q"):
+        node2vec_walks(spark, spark.createDataFrame(pdf), 2, p=0.0)
