@@ -39,10 +39,21 @@ def connected_components(
     checkpoint_every: int = 5,
     num_edges: int | None = None,
     init_labels: DataFrame | None = None,
+    mode: str = "auto",
 ) -> RunResult:
     """Hash-min WCC; result ``state`` has columns ``(id, label)`` where
     ``label`` is the minimum vertex id of the component.
     ``num_edges``: caller-known |E| — skips the partition-sizing count.
+
+    ``mode`` (r6): ``"auto"`` routes to the fused slipstore stream kernel
+    (stream_algos.cc_stream — EXACT same fixed point, superstep count,
+    and integer labels) from CC_STREAM_MIN_EDGES raw edges, or below it
+    when the warm-block registry already holds this graph's undirected
+    blocks (then the cold-build argument for the join path is void);
+    ``"join"`` pins the classic join path; ``"stream"`` pins the stream
+    kernel. Warm-start (``init_labels``) and resumable (``checkpointer``)
+    runs stay on the join path — the stream kernel's blob checkpoints
+    and seed contract are separate.
 
     ``init_labels``: warm-start from a prior ``(id, label)`` frame — the
     incremental-ingest handoff for CC, and unlike PageRank's it is EXACT
@@ -63,6 +74,27 @@ def connected_components(
     clamped with least(id, prior) so a malformed prior (label > id)
     cannot raise the fixed point.
     """
+    if mode not in ("auto", "join", "stream"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("auto", "stream") and init_labels is None and checkpointer is None:
+        from ..csr import CC_STREAM_MIN_EDGES, _warm_blocks_ready, _warm_key
+
+        ne = num_edges if num_edges is not None else edges.count()
+        num_edges = ne
+        warm = _warm_blocks_ready(
+            _warm_key(edges, True, None, num_partitions)
+        ) is not None
+        if mode == "stream" or ne >= CC_STREAM_MIN_EDGES or warm:
+            from ..stream_algos import cc_stream
+
+            return cc_stream(
+                spark, edges, max_iters=max_iters,
+                num_partitions=num_partitions,
+            )
+    elif mode == "stream":
+        raise ValueError(
+            "mode='stream' does not support init_labels or checkpointer"
+        )
     p = num_partitions or choose_num_partitions(
         spark, (num_edges if num_edges is not None else edges.count()) * 2
     )

@@ -44,9 +44,37 @@ def label_propagation(
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     num_edges: int | None = None,
+    mode: str = "auto",
 ) -> RunResult:
     """Synchronous LPA; result ``state`` has columns ``(id, label)``.
-    ``num_edges``: caller-known |E| — skips the partition-sizing count."""
+    ``num_edges``: caller-known |E| — skips the partition-sizing count.
+
+    ``mode`` (r6): ``"auto"`` routes to the fused slipstore stream kernel
+    (stream_algos.lpa_stream — EXACT same fixed point, superstep count,
+    deterministic tie-break, integer labels) from STREAM_AUTO_MIN_EDGES
+    raw edges, or below it when the warm-block registry already holds
+    this graph's undirected blocks; ``"join"`` pins the classic join
+    path; ``"stream"`` pins the stream kernel. Resumable runs
+    (``checkpointer``) stay on the join path."""
+    if mode not in ("auto", "join", "stream"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("auto", "stream") and checkpointer is None:
+        from ..csr import STREAM_AUTO_MIN_EDGES, _warm_blocks_ready, _warm_key
+
+        ne = num_edges if num_edges is not None else edges.count()
+        num_edges = ne
+        warm = _warm_blocks_ready(
+            _warm_key(edges, True, None, num_partitions)
+        ) is not None
+        if mode == "stream" or ne >= STREAM_AUTO_MIN_EDGES or warm:
+            from ..stream_algos import lpa_stream
+
+            return lpa_stream(
+                spark, edges, max_iters=max_iters,
+                num_partitions=num_partitions,
+            )
+    elif mode == "stream":
+        raise ValueError("mode='stream' does not support checkpointer")
     p = num_partitions or choose_num_partitions(
         spark, (num_edges if num_edges is not None else edges.count()) * 2
     )

@@ -195,21 +195,52 @@ def pagerank(
       superstep broadcasts the (tiny) sender vector and aggregates
       map-side: ZERO per-superstep shuffle. Valid while the vertex state
       fits in executor memory — X-Stream's in-memory engine regime.
-    - ``"auto"`` — broadcast iff |V| <= the memory-derived ceiling
-      (_broadcast_max_vertices: ~10% of executor heap at 64 B/vertex,
-      hard-capped at 20M).
+    - ``"stream"`` — the fused slipstore stream path (stream.pagerank_
+      stream): blob state, file-sliced update streams, one narrow
+      mapInPandas stage per superstep. Same recurrence and superstep
+      count; float association differs (allclose, same rounded oracle).
+    - ``"auto"`` — r6: from STREAM_AUTO_MIN_EDGES (100k) deduped-ish raw
+      edges the call is served by the STREAM path — measured faster than
+      broadcast/shuffle at every scale past the block-build crossover
+      (sf0.1: broadcast 21.2 s iterate + 28.0 s setup vs stream 3.9 s
+      iterate + build; 64M: BENCH/*_ab_64m.json). Below it: broadcast
+      iff |V| <= the memory-derived ceiling (_broadcast_max_vertices:
+      ~10% of executor heap at 64 B/vertex, hard-capped at 20M), else
+      shuffle — unchanged small-graph behavior, so the sf0.01 driver
+      oracles exercise the identical paths they always did. Stream
+      routing requires ``hub_threshold=None`` (stream kernels
+      pre-aggregate per-block — hub salting is a shuffle-path concept)
+      and ``checkpointer=None`` (blob checkpoints are not row
+      checkpoints; resumable runs keep their declared path).
 
     ``hub_threshold``: if set (shuffle mode), destinations with in-degree
     above it are salted into ``salt_buckets`` sub-keys (two-level
     aggregation) to absorb reducer skew on hub vertices; broadcast mode
     has no reducer at all, so skew is moot there.
     """
+    if mode not in ("auto", "shuffle", "broadcast", "stream"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("auto", "stream") and hub_threshold is None and checkpointer is None:
+        from ..csr import STREAM_AUTO_MIN_EDGES
+
+        ne = num_edges if num_edges is not None else edges.count()
+        num_edges = ne
+        if mode == "stream" or ne >= STREAM_AUTO_MIN_EDGES:
+            from ..stream import pagerank_stream
+
+            return pagerank_stream(
+                spark, edges, damping=damping, tol=tol, max_iters=max_iters,
+                num_partitions=num_partitions, weight_col=weight_col,
+                init_ranks=init_ranks, sources=sources,
+            )
+    elif mode == "stream":
+        raise ValueError(
+            "mode='stream' does not support hub_threshold or checkpointer"
+        )
     p = num_partitions or choose_num_partitions(
         spark, num_edges if num_edges is not None else edges.count()
     )
     with superstep_conf(spark, p):
-        if mode not in ("auto", "shuffle", "broadcast"):
-            raise ValueError(f"unknown mode {mode!r}")
         if mode == "auto":
             n_verts = vertices_from_edges(edges.select(SRC, DST)).count()
             mode = (

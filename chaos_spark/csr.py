@@ -189,6 +189,14 @@ CSR_AUTO_MIN_EDGES = int(_os.environ.get("CHAOS_CSR_MIN_EDGES", 1_000_000))
 STREAM_AUTO_MIN_EDGES = int(
     _os.environ.get("CHAOS_STREAM_MIN_EDGES", 100_000)
 )
+# CC's cold stream crossover (r6): CC runs few, cheap supersteps, so the
+# one-time block build must itself beat the join path's setup+iterate for
+# cold routing to pay. Starts at the conservative classic crossover;
+# re-measured after the v6 single-shuffle build landed (see
+# OPTIMIZATION_r06.md) — algos.connected_components reads this.
+CC_STREAM_MIN_EDGES = int(
+    _os.environ.get("CHAOS_CC_STREAM_MIN_EDGES", 1_000_000)
+)
 
 # ---------------------------------------------------------------------------
 # Warm-block registry — in-process analogue of Chaos's cross-algorithm

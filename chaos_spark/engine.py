@@ -55,6 +55,35 @@ def materialize(df: DataFrame, superstep: int | None = None) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+_EXPLAINED: set[str] = set()
+
+
+def maybe_explain(df: DataFrame, kind: str) -> None:
+    """Dev-only plan capture (off unless CHAOS_EXPLAIN_DIR is set): write
+    ``df.explain("formatted")`` once per (CHAOS_EXPLAIN_NAME, kind, tag)
+    to ``$CHAOS_EXPLAIN_DIR/<name>_<kind>_<tag>.txt`` — how the per-
+    superstep plans in plans/r06/ were captured without touching the
+    frozen bench."""
+    d = _os.environ.get("CHAOS_EXPLAIN_DIR")
+    if not d:
+        return
+    name = _os.environ.get("CHAOS_EXPLAIN_NAME", "query")
+    tag = _os.environ.get("CHAOS_EXPLAIN_TAG", "")
+    key = f"{name}_{kind}_{tag}" if tag else f"{name}_{kind}"
+    if key in _EXPLAINED:
+        return
+    _EXPLAINED.add(key)
+    try:
+        txt = df.sparkSession._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, f"{key}.txt"), "w") as f:
+            f.write(txt)
+    except Exception:
+        pass  # diagnostics only — never fail a superstep over a plan dump
+
+
 def materialize_stats(
     df: DataFrame,
     stats: list[Column],
@@ -91,6 +120,7 @@ def materialize_stats(
     observed = df.observe(obs, *stats)
     if keep is not None:
         observed = observed.select(*keep)
+    maybe_explain(observed, "superstep")
     out = observed.localCheckpoint(eager=True)
     return out, obs.get
 

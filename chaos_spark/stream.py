@@ -93,6 +93,7 @@ from .engine import (
     RunResult,
     _host_cpu_jiffies,
     materialize,
+    maybe_explain,
     release_state,
     run_supersteps,
     superstep_conf,
@@ -504,9 +505,9 @@ def _run_unchained(
     engine loop (checkpoint cadence, steal accounting, release_state)."""
 
     def step(cur: DataFrame, superstep: int):
-        new = cur.mapInPandas(
-            fused_kernel_for(superstep + 1), schema=_STATE_SCHEMA
-        ).localCheckpoint(eager=True)
+        pre = cur.mapInPandas(fused_kernel_for(superstep + 1), schema=_STATE_SCHEMA)
+        maybe_explain(pre, "superstep")
+        new = pre.localCheckpoint(eager=True)
         # Convergence statistic rides the update stream (no CollectMetrics
         # node, no listener wait): the barrier just completed, so the
         # stats files of step superstep+1 are all published.

@@ -32,7 +32,7 @@ def _ranks(res):
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_pagerank_csr_equals_join_path(spark, name):
     edges = spark.createDataFrame(GRAPHS[name]())
-    r_join = pagerank(spark, edges, tol=1e-6, max_iters=60)
+    r_join = pagerank(spark, edges, tol=1e-6, max_iters=60, mode="shuffle")
     r_csr = pagerank_csr(spark, edges, tol=1e-6, max_iters=60, mode="csr")
     a, b = _ranks(r_join), _ranks(r_csr)
     assert set(a) == set(b)
@@ -58,7 +58,7 @@ def test_pagerank_csr_matches_oracle(spark, name):
 def test_cc_csr_equals_join_path(spark, name):
     edges = spark.createDataFrame(GRAPHS[name]())
     a = dict(
-        connected_components(spark, edges, max_iters=100)
+        connected_components(spark, edges, max_iters=100, mode="join")
         .state.select("id", "label").collect()
     )
     b = dict(cc_csr(spark, edges, max_iters=100, mode="csr").state.select("id", "label").collect())
@@ -87,7 +87,7 @@ def test_lpa_csr_equals_join_path(spark):
     for name in ("two_cliques_bridge", "powerlaw"):
         edges = spark.createDataFrame(GRAPHS[name]())
         a = dict(
-            label_propagation(spark, edges, max_iters=7)
+            label_propagation(spark, edges, max_iters=7, mode="join")
             .state.select("id", "label").collect()
         )
         b = dict(
@@ -244,20 +244,21 @@ def test_auto_route_serves_stream_above_crossover(spark, monkeypatch):
     monkeypatch.setattr(csr_mod, "STREAM_AUTO_MIN_EDGES", 1)
     edges = spark.createDataFrame(GRAPHS["two_cliques_bridge"]())
     a = _ranks(pagerank_csr(spark, edges, tol=1e-6, max_iters=60))
-    b = _ranks(pagerank(spark, edges, tol=1e-6, max_iters=60))
+    b = _ranks(pagerank(spark, edges, tol=1e-6, max_iters=60, mode="shuffle"))
     ks = sorted(a)
     assert a.keys() == b.keys()
     assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=0, atol=1e-9)
     cc_a = dict(cc_csr(spark, edges).state.select("id", "label").collect())
     cc_b = dict(
-        connected_components(spark, edges).state.select("id", "label").collect()
+        connected_components(spark, edges, mode="join")
+        .state.select("id", "label").collect()
     )
     assert cc_a == cc_b
     lpa_a = dict(
         lpa_csr(spark, edges, max_iters=3).state.select("id", "label").collect()
     )
     lpa_b = dict(
-        label_propagation(spark, edges, max_iters=3)
+        label_propagation(spark, edges, max_iters=3, mode="join")
         .state.select("id", "label").collect()
     )
     assert lpa_a == lpa_b
@@ -298,7 +299,8 @@ def test_warm_block_registry_reuse_and_reroute(spark, monkeypatch):
 
     cc_a = dict(cc_csr(spark, edges).state.select("id", "label").collect())
     cc_b = dict(
-        connected_components(spark, edges).state.select("id", "label").collect()
+        connected_components(spark, edges, mode="join")
+        .state.select("id", "label").collect()
     )
     assert cc_a == cc_b
     # Same registered dir, no rebuild (marker untouched), entry intact.

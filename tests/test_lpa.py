@@ -5,7 +5,7 @@ from tests.oracles import lpa_oracle
 
 def _check(spark, edges_pdf, max_iters=10):
     edges = spark.createDataFrame(edges_pdf)
-    res = label_propagation(spark, edges, max_iters=max_iters)
+    res = label_propagation(spark, edges, max_iters=max_iters, mode="join")
     got = {r["id"]: r["label"] for r in res.state.collect()}
     want = lpa_oracle(edges_pdf, max_iters=max_iters)
     assert got == want
@@ -18,7 +18,7 @@ def test_lpa_chain(spark):
 def test_lpa_cliques_two_communities(spark):
     pdf = g3_cliques()
     _check(spark, pdf)
-    res = label_propagation(spark, spark.createDataFrame(pdf))
+    res = label_propagation(spark, spark.createDataFrame(pdf), mode="join")
     labels = {r["id"]: r["label"] for r in res.state.collect()}
     assert labels[10] == 10  # isolated-but-for-self-loop keeps its label
 

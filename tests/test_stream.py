@@ -35,7 +35,7 @@ def _ranks(res):
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_pagerank_stream_equals_join_path(spark, name):
     edges = spark.createDataFrame(GRAPHS[name]())
-    r_join = pagerank(spark, edges, tol=1e-6, max_iters=60)
+    r_join = pagerank(spark, edges, tol=1e-6, max_iters=60, mode="shuffle")
     r_str = pagerank_stream(spark, edges, tol=1e-6, max_iters=60)
     a, b = _ranks(r_join), _ranks(r_str)
     assert set(a) == set(b)
@@ -68,7 +68,8 @@ def test_pagerank_stream_weighted_equals_join(spark):
         }
     )
     edges = spark.createDataFrame(pdf)
-    r_join = pagerank(spark, edges, weight_col="w", tol=1e-8, max_iters=80)
+    r_join = pagerank(spark, edges, weight_col="w", tol=1e-8, max_iters=80,
+                      mode="shuffle")
     r_str = pagerank_stream(spark, edges, weight_col="w", tol=1e-8,
                             max_iters=80)
     a, b = _ranks(r_join), _ranks(r_str)

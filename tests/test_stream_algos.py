@@ -36,7 +36,7 @@ def _labels(res):
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_cc_stream_equals_join_path(spark, name):
     edges = spark.createDataFrame(GRAPHS[name]())
-    r_join = connected_components(spark, edges, max_iters=100)
+    r_join = connected_components(spark, edges, max_iters=100, mode="join")
     r_str = cc_stream(spark, edges, max_iters=100)
     assert _labels(r_join) == _labels(r_str)
     assert r_str.supersteps == r_join.supersteps
@@ -54,7 +54,7 @@ def test_cc_stream_matches_oracle(spark):
 @pytest.mark.parametrize("name", ["two_cliques_bridge", "powerlaw"])
 def test_lpa_stream_equals_join_path(spark, name):
     edges = spark.createDataFrame(GRAPHS[name]())
-    r_join = label_propagation(spark, edges, max_iters=7)
+    r_join = label_propagation(spark, edges, max_iters=7, mode="join")
     r_str = lpa_stream(spark, edges, max_iters=7)
     assert _labels(r_join) == _labels(r_str)
     assert r_str.supersteps == r_join.supersteps
