@@ -231,7 +231,7 @@ def pagerank(
             return pagerank_stream(
                 spark, edges, damping=damping, tol=tol, max_iters=max_iters,
                 num_partitions=num_partitions, weight_col=weight_col,
-                init_ranks=init_ranks, sources=sources,
+                init_ranks=init_ranks, sources=sources, num_edges=ne,
             )
     elif mode == "stream":
         raise ValueError(

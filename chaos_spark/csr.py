@@ -191,11 +191,14 @@ STREAM_AUTO_MIN_EDGES = int(
 )
 # CC's cold stream crossover (r6): CC runs few, cheap supersteps, so the
 # one-time block build must itself beat the join path's setup+iterate for
-# cold routing to pay. Starts at the conservative classic crossover;
-# re-measured after the v6 single-shuffle build landed (see
-# OPTIMIZATION_r06.md) — algos.connected_components reads this.
+# cold routing to pay. Re-measured after the v6 single-shuffle build
+# landed: at 294k edges (sf0.1 part graph) cold stream = 1.7 s build +
+# 0.4 s init/expand + 0.7 s iterate ≈ 2.8 s vs join 4.7–7.4 s, while at
+# ~29k (sf0.01) the join path still wins by a few hundred ms — the
+# crossover sits between, 200k keeps a safety margin on the join side
+# (OPTIMIZATION_r06.md). algos.connected_components and cc_csr read this.
 CC_STREAM_MIN_EDGES = int(
-    _os.environ.get("CHAOS_CC_STREAM_MIN_EDGES", 1_000_000)
+    _os.environ.get("CHAOS_CC_STREAM_MIN_EDGES", 200_000)
 )
 
 # ---------------------------------------------------------------------------
@@ -298,6 +301,57 @@ def _auto_route(
 
 _BLOCK_MEMBERS = ("ids", "pos", "du", "di", "starts", "boff", "w")
 _BLOCK_KEYS = {"du": "dst_unique", "di": "dst_inverse"}
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Spark-parity XXH64 (v6 build): the block build computes the
+# content fingerprint INSIDE the edge-pass kernel (numpy, per partition,
+# xor-folded on the driver) instead of running a separate Spark
+# distinct+agg job over the deduped edges. Marker VALIDATION (warm reuse)
+# still uses Spark's own ``bit_xor(xxhash64(...))`` — these helpers are
+# bit-exact images of catalyst's XxHash64 (seed 42, hashLong chained per
+# column; genoracle.py holds the scalar reference, tests/test_csr.py the
+# Spark parity test), so the two sides agree on the same data.
+# ---------------------------------------------------------------------------
+
+_XP1 = np.uint64(0x9E3779B185EBCA87)
+_XP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XP3 = np.uint64(0x165667B19E3779F9)
+_XP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh64_long_np(v: np.ndarray, seed: np.ndarray | int) -> np.ndarray:
+    """XXH64.hashLong(v, seed), vectorized over uint64 arrays (wrapping
+    64-bit math — numpy unsigned ops wrap by construction)."""
+    with np.errstate(over="ignore"):
+        s = seed if isinstance(seed, np.ndarray) else np.uint64(seed)
+        h = s + _XP5 + np.uint64(8)
+        k1 = v * _XP2
+        k1 = ((k1 << np.uint64(31)) | (k1 >> np.uint64(33))) * _XP1
+        h = h ^ k1
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * _XP1 + _XP4
+        h ^= h >> np.uint64(33)
+        h *= _XP2
+        h ^= h >> np.uint64(29)
+        h *= _XP3
+        h ^= h >> np.uint64(32)
+        return h
+
+
+def _edge_fp_np(src: np.ndarray, dst: np.ndarray, w: np.ndarray | None) -> int:
+    """xor-fold of Spark ``xxhash64(src, dst[, w])`` over edge rows,
+    returned as the SIGNED int64 Spark's bit_xor aggregate yields."""
+    h = _xxh64_long_np(src.astype(np.int64).view(np.uint64), 42)
+    h = _xxh64_long_np(dst.astype(np.int64).view(np.uint64), h)
+    if w is not None:
+        # catalyst hashes a double column as hashLong(doubleToLongBits(d))
+        # with -0.0 normalized to 0.0
+        wb = np.where(w == 0.0, 0.0, w).view(np.uint64)
+        h = _xxh64_long_np(wb, h)
+    if len(h) == 0:
+        return 0
+    return int(np.bitwise_xor.reduce(h).view(np.int64))
 
 
 def _load_disk_block(token: str, pid: int, block_dir: str):
@@ -417,6 +471,108 @@ def _unpack_block(token: str, part: int, blob: bytes, n: int, nu: int) -> dict[s
     return blk
 
 
+def _npy_replace(path: str, arr: np.ndarray) -> None:
+    """Atomic single-file .npy publish (same pattern as stream._publish_arr)."""
+    tmp = f"{path}.{_os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    _os.replace(tmp, path)
+
+
+def _build_apply_v6(bd: str, p: int, q: int, weighted: bool) -> pd.DataFrame:
+    """v6 build pass 2 for vertex partition ``q`` (see _init_disk):
+    derive q's sorted vertex-id vector from the blocks (unique srcs of
+    block q ∪ every block's bucket-q du slice), write the aligned
+    out-degree vector + slipstore apply plan (apply-{q}/), back-fill the
+    block's gather positions (pos.npy, strict-checked) and ids.npy, and
+    drop the temporary per-edge src array. Idempotent under task retry:
+    every file publish is an atomic replace, the apply dir is an atomic
+    rename (a lost race leaves the winner's identical bytes), and a
+    retry after pos.npy landed skips the recompute."""
+    pdir = _os.path.join(bd, f"part-{q}")
+    has_part = _os.path.isdir(pdir)
+    if has_part:
+        usrc = np.load(_os.path.join(pdir, "usrc.npy"))
+        odeg = np.load(_os.path.join(pdir, "odeg.npy"))
+    else:
+        usrc = np.empty(0, np.int64)
+        odeg = np.empty(0, np.float64 if weighted else np.int64)
+    slices: list[np.ndarray | None] = []
+    soff = np.full(p, -1, dtype=np.int64)
+    for b in range(p):
+        d2 = _os.path.join(bd, f"part-{b}")
+        sl = None
+        if _os.path.isdir(d2):
+            bdu = np.load(_os.path.join(d2, "du.npy"), mmap_mode="r")
+            bo = np.load(_os.path.join(d2, "boff.npy"), mmap_mode="r")
+            lo, hi = int(bo[q]), int(bo[q + 1])
+            if hi > lo:
+                sl = np.asarray(bdu[lo:hi])
+                soff[b] = lo
+        slices.append(sl)
+    cat = [usrc] + [s for s in slices if s is not None]
+    ids = np.unique(np.concatenate(cat)) if cat else np.empty(0, np.int64)
+    if len(ids) == 0:
+        return pd.DataFrame({"part": [q], "n": [0]})
+    od = np.zeros(len(ids), dtype=np.float64 if weighted else np.int64)
+    if len(usrc):
+        pos_src = np.searchsorted(ids, usrc)
+        od[pos_src] = odeg
+    odf = od.astype(np.float64, copy=False)
+    iod = np.where(odf > 0, 1.0 / np.where(odf > 0, odf, 1.0), 0.0)
+    apos_parts = []
+    aoff = np.zeros(p + 1, dtype=np.int64)
+    for b in range(p):
+        sl = slices[b]
+        ln = 0
+        if sl is not None:
+            ap = np.searchsorted(ids, sl)
+            ap = np.clip(ap, 0, len(ids) - 1)
+            if not np.array_equal(ids[ap], sl):
+                raise RuntimeError(
+                    f"CSR apply build: block {b} routes dst ids to "
+                    f"partition {q} that are not in its vertex partition "
+                    "— partitioner mismatch"
+                )
+            apos_parts.append(ap.astype(np.int32))
+            ln = len(ap)
+        aoff[b + 1] = aoff[b] + ln
+    apos = np.concatenate(apos_parts) if apos_parts else np.empty(0, np.int32)
+    arrays = {"apos": apos, "aoff": aoff, "soff": soff, "iod": iod,
+              "ids": ids, "od": od}
+    tmp = _os.path.join(bd, f".apply-{q}.{_os.getpid()}.tmp")
+    _os.makedirs(tmp, exist_ok=True)
+    for name, arr in arrays.items():
+        with open(_os.path.join(tmp, f"{name}.npy"), "wb") as f:
+            np.save(f, arr)
+    final = _os.path.join(bd, f"apply-{q}")
+    try:
+        _os.rename(tmp, final)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    if has_part:
+        posp = _os.path.join(pdir, "pos.npy")
+        srcp = _os.path.join(pdir, "src.npy")
+        if not _os.path.exists(posp) and _os.path.exists(srcp):
+            srcv = np.load(srcp)
+            pos = np.searchsorted(ids, srcv)
+            pos = np.clip(pos, 0, len(ids) - 1)
+            if not np.array_equal(ids[pos], srcv):
+                raise RuntimeError(
+                    f"CSR block build: partition {q} has edge src ids "
+                    "outside its vertex partition — partitioner mismatch"
+                )
+            _npy_replace(_os.path.join(pdir, "ids.npy"), ids)
+            _npy_replace(posp, pos.astype(np.int32))
+        try:
+            _os.remove(srcp)
+        except OSError:
+            pass
+    return pd.DataFrame({"part": [q], "n": [len(ids)]})
+
+
 class CsrGraph:
     """Per-partition CSR edge blocks built once (see module docstring)."""
 
@@ -430,6 +586,7 @@ class CsrGraph:
         packed: bool = False,
         layout: str | None = None,
         weight_col: str | None = None,
+        num_edges: int | None = None,
     ):
         from .shipping import ensure_shipped
 
@@ -443,35 +600,29 @@ class CsrGraph:
         # join paths). Disk layout only — it is the scale path, and the
         # r1 cogroup layouts exist for A/B tests, not new features.
         self.weighted = weight_col is not None
-        if self.weighted:
-            if undirected or layout != "disk":
-                raise ValueError(
-                    "weighted CSR supports the directed disk layout only"
-                )
-            e = (
-                edges.select(SRC, DST, F.col(weight_col).cast("double").alias("w"))
-                .groupBy(SRC, DST)
-                .agg(F.sum("w").alias("w"))
+        if self.weighted and (undirected or layout != "disk"):
+            raise ValueError(
+                "weighted CSR supports the directed disk layout only"
             )
-        else:
-            e = dedup_edges(edges)
+        self.spark = spark
+        self.layout = layout
+        self.packed = layout == "packed"
+        self.block_dir = None
+        self.blocks = None
+        self._verts = None
+        self._out_deg = None
+        if layout == "disk":
+            self._init_disk(
+                spark, edges, num_partitions, undirected, token,
+                weight_col, num_edges,
+            )
+            return
+        # --- legacy cogroup layouts (rows/packed, A/B tests only) ---
+        e = dedup_edges(edges)
         if undirected:
             e = symmetrize(e)
-        self.spark = spark
-        # Build-time cache: the deduped table feeds FOUR one-time consumers
-        # (count, block build, vertex pre-pass, degree pre-pass); uncached,
-        # each re-ran the distinct shuffle (round 2 billed ~4x the dedup
-        # cost to every CSR build). Released at the end of __init__ — the
-        # supersteps never touch the row table in disk layout.
         e = e.persist()
-        # One action: |E| + an order-independent content fingerprint
-        # (xor-fold of xxhash64(src,dst) over the deduped edge SET). The
-        # fingerprint goes into the _BUILT marker and the worker-cache
-        # namespace so a pinned token whose data was REGENERATED with the
-        # same edge count (same-scale re-gen, permuted edges) can never be
-        # served stale blocks — ADVICE r3: the count-only marker missed
-        # exactly that case. xor, not sum: no ANSI overflow, order-free.
-        fp_cols = [F.col(SRC), F.col(DST)] + ([F.col("w")] if self.weighted else [])
+        fp_cols = [F.col(SRC), F.col(DST)]
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64(*fp_cols)).alias("fp"),
@@ -479,73 +630,12 @@ class CsrGraph:
         self.num_edges = int(row["n"])
         self.edge_fp = int(row["fp"] or 0)
         self.p = num_partitions or choose_num_partitions(spark, self.num_edges)
-        self.layout = layout
-        self.packed = layout == "packed"
-        # Unique per CsrGraph: worker caches are reused across the many
-        # supersteps of one run (the case that matters); a fresh graph gets
-        # a fresh token so stale blocks can never be read. A caller-pinned
-        # token (same edges + p only!) additionally reuses disk blocks and
-        # worker caches across runs (bench warmup -> timed run).
         import uuid
 
-        # Warm-block adoption: an un-tokened disk-layout graph whose edges
-        # plan + flavor matches a registered build reuses that token (and
-        # thus its block dir). Always safe: the _BUILT marker below is
-        # validated against THIS instance's freshly computed |E| + content
-        # fingerprint, so a semantic-hash collision or regenerated source
-        # rebuilds instead of reading stale blocks.
-        self._warm_key = (
-            _warm_key(edges, undirected, weight_col, num_partitions)
-            if layout == "disk"
-            else None
-        )
-        warm_tok = _warm_blocks_ready(self._warm_key) if token is None else None
-        self.token = (
-            token or warm_tok
-            or f"g-{uuid.uuid4().hex}-{self.num_edges}-{self.p}"
-        )
-        # Worker-cache namespace: includes the edge count AND the content
-        # fingerprint so a pinned token whose underlying data changed
-        # (marker-triggered block REBUILD, see _build_disk_blocks) can
-        # never serve stale in-memory blocks cached by a still-alive
-        # Python worker from the previous epoch — even when the
-        # regenerated data has the same |E|.
+        self._warm_key = None
+        self.token = token or f"g-{uuid.uuid4().hex}-{self.num_edges}-{self.p}"
         self.cache_token = f"{self.token}#{self.num_edges}:{self.edge_fp:x}"
-        self.block_dir = None
-        self.blocks = None
-        self._ephemeral_blocks = token is None and warm_tok is None
-        if layout == "disk":
-            # Vertex pre-pass FIRST: the v3 block build stores build-time
-            # gather positions against each partition's sorted id vector,
-            # which is derived from the full vertex set (src ∪ dst).
-            self.verts = vertices_from_edges(e).persist()
-            self.num_vertices = self.verts.count()
-            if self.weighted:
-                # Out-STRENGTH W(u) = Σw — the weighted degree pre-pass;
-                # the state's out_degree column is then a double.
-                self.out_deg = (
-                    e.groupBy(F.col(SRC).alias(ID))
-                    .agg(F.sum("w").alias("out_degree"))
-                    .persist()
-                )
-            else:
-                self.out_deg = out_degrees(e).persist()
-            self.out_deg.count()
-            self._build_disk_blocks(e)  # needs verts + out_deg (apply pass)
-            # Register the built (or marker-validated) blocks for warm
-            # reuse by the next algorithm over the same edges plan; the
-            # dir is then retained past unpersist() for the process
-            # lifetime. Capped so campaign-scale ephemeral graphs keep
-            # their cleanup (pinned-token campaigns retain dirs anyway).
-            if (
-                self._warm_key is not None
-                and self.num_edges <= _WARM_KEEP_MAX_EDGES
-            ):
-                _WARM_BLOCKS[self._warm_key] = (self.token, self.block_dir)
-                self._ephemeral_blocks = False
-            self.edges = e  # logical only; supersteps never touch it
-            e.unpersist()  # build-time cache done; verts/degrees stay
-            return
+        self._ephemeral_blocks = token is None
         self.edges = (
             e.withColumn("part", F.pmod(F.xxhash64(F.col(SRC)), F.lit(self.p)).cast("int"))
             .repartition(self.p, F.col("part"))
@@ -553,11 +643,11 @@ class CsrGraph:
         )
         self.edges.count()
         e.unpersist()  # build-time cache superseded by the row layout
-        self.verts = vertices_from_edges(self.edges).persist()
-        self.num_vertices = self.verts.count()
+        self._verts = vertices_from_edges(self.edges).persist()
+        self.num_vertices = self._verts.count()
         # Degree pre-pass while the row layout is cached (PageRank init).
-        self.out_deg = out_degrees(self.edges).persist()
-        self.out_deg.count()
+        self._out_deg = out_degrees(self.edges).persist()
+        self._out_deg.count()
         if layout == "packed":
             def pack_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 blob, n, nu = _pack_block(pdf)
@@ -572,239 +662,296 @@ class CsrGraph:
             # the packed blobs supersede the row layout for supersteps
             self.edges.unpersist()
 
-    def _build_disk_blocks(self, e: DataFrame) -> None:
-        """Two jobs, both bounded by partition count on the driver side:
+    def _init_disk(
+        self, spark, edges, num_partitions, undirected, token, weight_col,
+        num_edges,
+    ) -> None:
+        """v6 disk-layout construction — TWO jobs instead of round 5's six:
 
-        1. vertex pass — hash-partition the vertex set by id (the SAME
-           ``repartition(p, col)`` Murmur3 layout align_state gives the
-           running state) and write each partition's SORTED id vector to
-           ``ids-{pid}.npy``.
-        2. edge pass — hash-partition edges by src, sort each partition's
-           edges by (dst-bucket, dst) (stable; dst-bucket = the Murmur3
-           pmod partition the dst's STATE row lives in, computed by
-           Spark's own ``hash()`` so it is the repartition routing by
-           construction), and write one v5 block DIRECTORY per partition
-           (part-{pid}/{ids,pos,du,di,starts,boff,w}.npy — plain .npy so
-           the kernels can MEMORY-MAP them): the partition's ids,
-           BUILD-TIME gather positions (searchsorted of src into ids —
-           strict-checked here, once, instead of per task per worker),
-           unique dst + monotone dst_inverse + per-dst segment starts,
-           and the per-bucket slice offsets. The whole directory is
-           renamed into place atomically — idempotent under task
-           retry/speculation, and no torn multi-file block can ever
-           be observed (a concurrent attempt's rename onto an existing
-           block fails and discards its temp dir; both attempts hold
-           identical content up to same-dst edge order, which reduceat/
-           LPA-count results do not depend on... but gather positions
-           and weights DO pair per-edge, hence the all-or-nothing
-           directory swap).
-        3. apply pass — for each VERTEX partition q, precompute the
-           slipstore apply plan: the positions of every block's bucket-q
-           du slice within q's sorted id vector (``apos``, int32, concat
-           in block order; ``aoff``, int64 p+1 block offsets) plus the
-           aligned inverse out-degree vector ``iod`` (1/W(u), 0 for
-           dangling). Written to apply-{q}/ atomically. This is what
-           lets the stream path's fused superstep apply 20M+ incoming
-           partials with ONE bincount and zero per-superstep searches.
+        1. edge pass (the only shuffle of edge rows): ``repartition(p,
+           src)`` over the RAW selected edge stream; the kernel dedups
+           (src, dst) [summing duplicate weights], sorts by (dst-bucket,
+           dst, src), computes du/di/starts/boff, the per-unique-src
+           out-degrees, and the partition's xor-fold content fingerprint
+           (bit-exact Spark xxhash64, see _edge_fp_np) — the distinct
+           shuffle, the count+fingerprint agg, the vertex distinct, and
+           the degree groupBy of the old build all collapse into this one
+           pass's kernel.
+        2. vertex/apply pass (NO shuffle — ``spark.range(p)`` with one
+           partition per index): partition q's vertex set is derived from
+           the blocks themselves (unique srcs of block q ∪ every block's
+           bucket-q du slice — both defined by the SAME Murmur3 routing
+           ``repartition(p, col)`` uses, so it equals {v : hash(v) % p ==
+           q} by construction), then the pass writes the aligned
+           out-degree vector, the slipstore apply plan (apos/aoff/soff/
+           iod), and back-fills the block's build-time gather positions
+           (pos.npy, strict-checked) + ids.npy, dropping the temporary
+           per-edge src array.
 
-        The ids .npy intermediates are removed after the marker write."""
-        import glob as _glob
+        Partition sizing uses the RAW row count (``num_edges`` skips the
+        scan; duplicates only oversize the heuristic). The deduped |E|,
+        |V|, and fingerprint are recorded in the _BUILT marker; a pinned
+        token's warm path validates the marker with ONE Spark
+        dedup+bit_xor(xxhash64) job and adopts without any build work —
+        verts/out_degrees DataFrames are reconstructed lazily from the
+        apply dirs (zero shuffles) only if something asks for them.
+        """
+        w = self.weighted
+        if w:
+            e = edges.select(
+                SRC, DST, F.col(weight_col).cast("double").alias("w")
+            )
+        else:
+            e = edges.select(SRC, DST)
+        if undirected:
+            rev = (
+                e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
+                if w
+                else e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+            )
+            e = e.union(rev)
+        self.undirected = undirected
+        e = e.persist()
+        raw = (
+            num_edges * (2 if undirected else 1)
+            if num_edges is not None
+            else e.count()
+        )
+        self.p = num_partitions or choose_num_partitions(spark, raw)
+        import uuid
+
+        # Warm-block adoption: an un-tokened graph whose edges plan +
+        # flavor matches a registered build reuses that token (and its
+        # block dir). Always safe: the _BUILT marker is re-validated
+        # against a freshly computed |E| + content fingerprint before any
+        # block is trusted.
+        self._warm_key = _warm_key(edges, undirected, weight_col, num_partitions)
+        warm_tok = _warm_blocks_ready(self._warm_key) if token is None else None
+        self.token = (
+            token or warm_tok or f"g-{uuid.uuid4().hex}-{raw}-{self.p}"
+        )
+        self._ephemeral_blocks = token is None and warm_tok is None
+        self._build_or_adopt(e)
+        # Worker-cache namespace: count + content fingerprint, so a pinned
+        # token whose underlying data changed can never serve stale
+        # in-memory blocks cached by a still-alive Python worker.
+        self.cache_token = f"{self.token}#{self.num_edges}:{self.edge_fp:x}"
+        if (
+            self._warm_key is not None
+            and self.num_edges <= _WARM_KEEP_MAX_EDGES
+        ):
+            _WARM_BLOCKS[self._warm_key] = (self.token, self.block_dir)
+            self._ephemeral_blocks = False
+        self.edges = e  # logical only; supersteps never touch the row table
+        e.unpersist()
+
+    def _build_or_adopt(self, e: DataFrame) -> None:
+        """Adopt marker-validated blocks (one Spark validation job) or
+        wipe and rebuild (the two v6 passes)."""
         import hashlib
+        import shutil
 
         safe = hashlib.md5(self.token.encode()).hexdigest()[:16]
         self.block_dir = _os.path.join(_DISK_BLOCK_BASE, f"{safe}-p{self.p}")
         marker = _os.path.join(self.block_dir, "_BUILT")
         if _os.path.exists(marker):
-            # Validate the marker before trusting cached blocks: a caller-
-            # pinned token whose underlying edge data changed (regenerated
-            # parquet at the same path) must trigger a rebuild, not a
-            # silent gather over a stale graph. The marker records
-            # "{num_edges}:{p}:{content_fp}" — the xor-fold fingerprint
-            # catches same-count-different-edges regeneration too; any
-            # mismatch (or an old-format marker, e.g. v2) wipes and
-            # rebuilds.
             try:
                 with open(marker) as f:
-                    stored = f.read().strip()
+                    parts = f.read().strip().split(":")
             except OSError:
-                stored = ""
-            if stored == f"v5:{self.num_edges}:{self.p}:{self.edge_fp:x}":
-                return
-            import shutil
-
+                parts = []
+            # v6 marker: "v6:{|E| dedup}:{|V|}:{p}:{fp:x}". Validation =
+            # ONE Spark job computing the live data's deduped count +
+            # xor-fold xxhash64 fingerprint (the kernel fingerprint is
+            # bit-exact with this aggregate — _edge_fp_np); any mismatch
+            # (or an old-format marker) wipes and rebuilds, so stale or
+            # torn blocks can never be served. ADVICE r3 contract kept:
+            # same-count-different-edges regeneration is caught by fp.
+            if len(parts) == 5 and parts[0] == "v6" and parts[3] == str(self.p):
+                fp_cols = [F.col(SRC), F.col(DST)] + (
+                    [F.col("w")] if self.weighted else []
+                )
+                if self.weighted:
+                    dd = e.groupBy(SRC, DST).agg(F.sum("w").alias("w"))
+                else:
+                    dd = e.distinct()
+                row = dd.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64(*fp_cols)).alias("fp"),
+                ).first()
+                live_n, live_fp = int(row["n"]), int(row["fp"] or 0)
+                if live_n == int(parts[1]) and live_fp == int(parts[4], 16):
+                    self.num_edges = live_n
+                    self.num_vertices = int(parts[2])
+                    self.edge_fp = live_fp
+                    return
+            shutil.rmtree(self.block_dir, ignore_errors=True)
+        else:
+            # Incomplete previous build (dirs without a marker) must not
+            # donate possibly-stale part dirs to this build.
             shutil.rmtree(self.block_dir, ignore_errors=True)
         _os.makedirs(self.block_dir, exist_ok=True)
-        bd = self.block_dir
+        self._build_v6(e)
 
-        def write_ids(batches):
-            from pyspark import TaskContext
+    def _build_v6(self, e: DataFrame) -> None:
+        bd, p, weighted = self.block_dir, self.p, self.weighted
 
-            pid = TaskContext.get().partitionId()
-            parts = [pdf[ID].to_numpy(dtype=np.int64) for pdf in batches]
-            ids = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-            if len(ids):
-                tmp = _os.path.join(bd, f".ids-{pid}.{_os.getpid()}.tmp")
-                with open(tmp, "wb") as f:
-                    np.save(f, ids)
-                _os.replace(tmp, _os.path.join(bd, f"ids-{pid}.npy"))
-            yield pd.DataFrame({"part": [pid], "n": [len(ids)]})
-
-        vcount = (
-            self.verts.repartition(self.p, F.col(ID))
-            .mapInPandas(write_ids, schema="part int, n long")
-            .collect()  # p rows
-        )
-        assert sum(r["n"] for r in vcount) == self.num_vertices
-
-        weighted = self.weighted
-        p = self.p
-
-        def build(batches):
+        def pass1(batches):
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
             srcs, dsts, bkts, ws = [], [], [], []
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 srcs.append(pdf[SRC].to_numpy(dtype=np.int64))
                 dsts.append(pdf[DST].to_numpy(dtype=np.int64))
                 bkts.append(pdf["dbkt"].to_numpy(dtype=np.int64))
                 if weighted:
                     ws.append(pdf["w"].to_numpy(dtype=np.float64))
-            n = 0
-            if srcs:
-                src = np.concatenate(srcs)
-                dst = np.concatenate(dsts)
-                bkt = np.concatenate(bkts)
-                n = len(src)
-            if n:
-                # Stable (bucket, dst) sort: per-dst edge order is
-                # preserved, so per-dst reduceat sums are BIT-identical to
-                # the v2 bincount, accumulation is streaming, and each
-                # TARGET partition's output slice is contiguous (the
-                # slipstore update-stream layout).
-                o = np.lexsort((dst, bkt))
-                src, dst, bkt = src[o], dst[o], bkt[o]
-                seg = np.empty(n, dtype=bool)
-                seg[0] = True
-                np.not_equal(dst[1:], dst[:-1], out=seg[1:])
-                starts = np.flatnonzero(seg)
-                du = dst[seg]
-                di = np.cumsum(seg) - 1
-                boff = np.searchsorted(bkt[seg], np.arange(p + 1))
-                ids = np.load(_os.path.join(bd, f"ids-{pid}.npy"))
-                idx = np.searchsorted(ids, src)
-                pos = np.clip(idx, 0, max(len(ids) - 1, 0))
-                if len(ids) == 0 or not np.array_equal(ids[pos], src):
-                    raise RuntimeError(
-                        f"CSR block build: partition {pid} has edge src ids "
-                        "outside its vertex partition — partitioner mismatch"
-                    )
-                arrays = {
-                    "ids": ids,
-                    "pos": pos.astype(np.int32),  # |ids| < 2^31 always
-                    "du": du,
-                    # int64 on disk: np.bincount/reduceat need intp and
-                    # the kernels read it straight off the mmap
-                    "di": di.astype(np.int64, copy=False),
-                    "starts": starts.astype(np.int64, copy=False),
-                    "boff": boff.astype(np.int64, copy=False),
-                }
-                if weighted:
-                    arrays["w"] = np.concatenate(ws)[o]
-                tmp = _os.path.join(bd, f".part-{pid}.{_os.getpid()}.tmp")
-                _os.makedirs(tmp, exist_ok=True)
-                for name, arr in arrays.items():
-                    with open(_os.path.join(tmp, f"{name}.npy"), "wb") as f:
-                        np.save(f, arr)
-                final = _os.path.join(bd, f"part-{pid}")
-                try:
-                    _os.rename(tmp, final)
-                except OSError:
-                    import shutil
-
-                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-            yield pd.DataFrame({"part": [pid], "n": [n]})
-
-        built = (
-            # dbkt via Spark's own Murmur3 hash(): EXACTLY the routing
-            # repartition(p, id) gives the vertex state — the update
-            # stream's target-partition ids come from the partitioner
-            # itself, never a reimplementation of it.
-            e.withColumn("dbkt", F.pmod(F.hash(F.col(DST)), F.lit(self.p)))
-            .repartition(self.p, F.col(SRC))
-            .mapInPandas(build, schema="part int, n long")
-            .collect()  # p rows — bounded by partition count, not |E|
-        )
-        assert sum(r["n"] for r in built) == self.num_edges
-
-        def build_apply(batches):
-            from pyspark import TaskContext
-
-            q = TaskContext.get().partitionId()
-            pdfs = [pdf for pdf in batches]
-            if not pdfs:
+            if not srcs:
+                yield pd.DataFrame({"part": [pid], "n": [0], "fp": [0]})
                 return
-            pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
-            ids = pdf[ID].to_numpy(dtype=np.int64)
-            order = np.argsort(ids, kind="stable")
-            ids_sorted = ids[order]
-            od = pdf["out_degree"].to_numpy(dtype=np.float64)[order]
-            iod = np.where(od > 0, 1.0 / np.where(od > 0, od, 1.0), 0.0)
-            apos_parts = []
-            aoff = np.zeros(p + 1, dtype=np.int64)
-            soff = np.full(p, -1, dtype=np.int64)
-            for b in range(p):
-                d = _os.path.join(bd, f"part-{b}")
-                ap = None
-                if _os.path.isdir(d):
-                    bdu = np.load(_os.path.join(d, "du.npy"), mmap_mode="r")
-                    bo = np.load(_os.path.join(d, "boff.npy"), mmap_mode="r")
-                    sl = np.asarray(bdu[bo[q]:bo[q + 1]])
-                    if len(sl):
-                        ap = np.searchsorted(ids_sorted, sl)
-                        ap = np.clip(ap, 0, max(len(ids_sorted) - 1, 0))
-                        if not np.array_equal(ids_sorted[ap], sl):
-                            raise RuntimeError(
-                                f"CSR apply build: block {b} routes dst ids to "
-                                f"partition {q} that are not in its vertex "
-                                "partition — partitioner mismatch"
-                            )
-                        apos_parts.append(ap.astype(np.int32))
-                        soff[b] = int(bo[q])
-                aoff[b + 1] = aoff[b] + (0 if ap is None else len(ap))
-            apos = (np.concatenate(apos_parts) if apos_parts
-                    else np.empty(0, np.int32))
-            arrays = {"apos": apos, "aoff": aoff, "soff": soff, "iod": iod,
-                      "ids": ids_sorted}
-            tmp = _os.path.join(bd, f".apply-{q}.{_os.getpid()}.tmp")
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+            bkt = np.concatenate(bkts)
+            # One sort serves dedup AND the v5 block order: (bucket, dst,
+            # src) groups duplicate (src, dst) pairs adjacently inside
+            # each dst run while keeping du in (bucket, dst) order. The
+            # per-dst edge order becomes src-ascending — a deterministic
+            # order independent of shuffle arrival (stronger than the r5
+            # build, whose per-dst order was arrival order).
+            o = np.lexsort((src, dst, bkt))
+            src, dst, bkt = src[o], dst[o], bkt[o]
+            keep = np.empty(len(src), dtype=bool)
+            keep[0] = True
+            np.logical_or(
+                src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[1:]
+            )
+            wsum = None
+            if weighted:
+                wv = np.concatenate(ws)[o]
+                wsum = np.add.reduceat(wv, np.flatnonzero(keep))
+            src, dst, bkt = src[keep], dst[keep], bkt[keep]
+            n = len(src)
+            fp = _edge_fp_np(src, dst, wsum)
+            seg = np.empty(n, dtype=bool)
+            seg[0] = True
+            np.not_equal(dst[1:], dst[:-1], out=seg[1:])
+            starts = np.flatnonzero(seg)
+            du = dst[seg]
+            di = (np.cumsum(seg) - 1).astype(np.int64, copy=False)
+            boff = np.searchsorted(bkt[seg], np.arange(p + 1))
+            # Out-degrees over the deduped edges, per unique src — the
+            # old degree groupBy, now a bincount inside the same pass.
+            usrc, sidx = np.unique(src, return_inverse=True)
+            if weighted:
+                odeg = np.bincount(sidx, weights=wsum)
+            else:
+                odeg = np.bincount(sidx).astype(np.int64)
+            arrays = {
+                "src": src,  # temporary: pass 2 turns it into pos + ids
+                "du": du,
+                "di": di,
+                "starts": starts.astype(np.int64, copy=False),
+                "boff": boff.astype(np.int64, copy=False),
+                "usrc": usrc,
+                "odeg": odeg,
+            }
+            if weighted:
+                arrays["w"] = wsum
+            tmp = _os.path.join(bd, f".part-{pid}.{_os.getpid()}.tmp")
             _os.makedirs(tmp, exist_ok=True)
             for name, arr in arrays.items():
                 with open(_os.path.join(tmp, f"{name}.npy"), "wb") as f:
                     np.save(f, arr)
-            final = _os.path.join(bd, f"apply-{q}")
+            final = _os.path.join(bd, f"part-{pid}")
             try:
                 _os.rename(tmp, final)
             except OSError:
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-            yield pd.DataFrame({"part": [q], "n": [len(ids)]})
+            yield pd.DataFrame({"part": [pid], "n": [n], "fp": [np.int64(fp)]})
+
+        built = (
+            # dbkt via Spark's own Murmur3 hash(): EXACTLY the routing
+            # repartition(p, id) gives the vertex state.
+            e.withColumn("dbkt", F.pmod(F.hash(F.col(DST)), F.lit(p)))
+            .repartition(p, F.col(SRC))
+            .mapInPandas(pass1, schema="part int, n long, fp long")
+            .collect()  # p rows — bounded by partition count, not |E|
+        )
+        self.num_edges = int(sum(r["n"] for r in built))
+        acc = 0
+        for r in built:
+            acc ^= int(r["fp"]) & 0xFFFFFFFFFFFFFFFF
+        self.edge_fp = acc - (1 << 64) if acc >= 1 << 63 else acc
+
+        def pass2(batches):
+            for pdf in batches:
+                for qv in pdf["id"].tolist():
+                    yield _build_apply_v6(bd, p, int(qv), weighted)
 
         applied = (
-            self.verts.join(self.out_deg, ID, "left")
-            .select(
-                F.col(ID),
-                F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
-            )
-            .repartition(self.p, F.col(ID))
-            .mapInPandas(build_apply, schema="part int, n long")
-            .collect()  # p rows
+            self.spark.range(0, p, 1, p)
+            .mapInPandas(pass2, schema="part int, n long")
+            .collect()
         )
-        assert sum(r["n"] for r in applied) == self.num_vertices
-        with open(marker, "w") as f:
-            f.write(f"v5:{self.num_edges}:{self.p}:{self.edge_fp:x}")
-        for pth in _glob.glob(_os.path.join(bd, "ids-*.npy")):
-            _os.remove(pth)
+        self.num_vertices = int(sum(r["n"] for r in applied))
+        with open(_os.path.join(self.block_dir, "_BUILT"), "w") as f:
+            f.write(
+                f"v6:{self.num_edges}:{self.num_vertices}:{p}:{self.edge_fp:x}"
+            )
+
+    # -- vertex/degree views --------------------------------------------
+    # Disk layout (v6): |V| and the degree pre-pass live in the apply
+    # dirs; the DataFrame views are reconstructed LAZILY from those .npy
+    # files via a shuffle-free range(p) scan — most runs (the fused
+    # stream kernels) never ask for them at all. Valid only while the
+    # block dir exists (i.e. before unpersist() of an ephemeral graph).
+    # Legacy layouts keep their eagerly persisted frames.
+
+    def _apply_scan(self, with_deg: bool) -> DataFrame:
+        bd, p = self.block_dir, self.p
+
+        def read(batches):
+            for pdf in batches:
+                for qv in pdf["id"].tolist():
+                    d = _os.path.join(bd, f"apply-{int(qv)}")
+                    if not _os.path.isdir(d):
+                        continue
+                    ids = np.load(_os.path.join(d, "ids.npy"))
+                    if with_deg:
+                        od = np.load(_os.path.join(d, "od.npy"))
+                        yield pd.DataFrame({ID: ids, "out_degree": od})
+                    else:
+                        yield pd.DataFrame({ID: ids})
+
+        deg_t = "double" if self.weighted else "long"
+        schema = (
+            f"{ID} long, out_degree {deg_t}" if with_deg else f"{ID} long"
+        )
+        return self.spark.range(0, p, 1, p).mapInPandas(read, schema=schema)
+
+    def vertex_degrees(self) -> DataFrame:
+        """``(id, out_degree)`` for EVERY vertex (0 for dangling) — the
+        pre-joined seed base the rank init needs (disk layout only)."""
+        if self.layout != "disk":
+            raise ValueError("vertex_degrees requires the disk layout")
+        return self._apply_scan(with_deg=True)
+
+    @property
+    def verts(self) -> DataFrame:
+        if self._verts is None:
+            self._verts = self._apply_scan(with_deg=False)
+        return self._verts
+
+    @property
+    def out_deg(self) -> DataFrame:
+        if self._out_deg is None:
+            self._out_deg = self._apply_scan(with_deg=True)
+        return self._out_deg
 
     def part_col(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.p)).cast("int")
@@ -819,8 +966,10 @@ class CsrGraph:
     def unpersist(self) -> None:
         if self.layout != "disk":
             self.edges.unpersist()
-        self.verts.unpersist()
-        self.out_deg.unpersist()
+            if self._verts is not None:
+                self._verts.unpersist()
+            if self._out_deg is not None:
+                self._out_deg.unpersist()
         if self.blocks is not None:
             self.blocks.unpersist()
         if self.block_dir is not None and self._ephemeral_blocks:
@@ -919,11 +1068,26 @@ def pagerank_csr(
 
 
 def _rank_seed(g: "CsrGraph", n: int, init_ranks) -> DataFrame:
-    """Initial ``(id, out_degree, rank)`` frame — delegates to the ONE
-    warm-start contract definition, algos.pagerank.seed_ranks."""
+    """Initial ``(id, out_degree, rank)`` frame — the seed_ranks warm-start
+    contract (prior ranks verbatim, absent vertices 1/n). Disk layout
+    reads the pre-joined ``(id, out_degree)`` view straight from the
+    apply dirs (v6: no verts x degrees join); legacy layouts delegate to
+    algos.pagerank.seed_ranks."""
     from .algos.pagerank import seed_ranks
 
-    return seed_ranks(g.verts, g.out_deg, n, init_ranks)
+    if g.layout != "disk":
+        return seed_ranks(g.verts, g.out_deg, n, init_ranks)
+    base = g.vertex_degrees()
+    if init_ranks is None:
+        return base.select(ID, "out_degree", F.lit(1.0 / n).alias("rank"))
+    prior = init_ranks.select(
+        F.col(ID).alias("_pid"), F.col("rank").cast("double").alias("_prank")
+    )
+    return base.join(prior, base[ID] == F.col("_pid"), "left").select(
+        base[ID],
+        base["out_degree"],
+        F.coalesce(F.col("_prank"), F.lit(1.0 / n)).alias("rank"),
+    )
 
 
 def _pagerank_csr_disk(
@@ -1121,6 +1285,7 @@ def cc_csr(
     (e.g. LPA ran first: sf0.1 join 4.4 s vs warm stream 2.1 s)."""
     route, ne = _auto_route(
         edges, mode, num_edges, token, layout, packed,
+        min_edges=CC_STREAM_MIN_EDGES,
         warm_key=_warm_key(edges, True, None, num_partitions),
     )
     if route == "join":

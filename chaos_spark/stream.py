@@ -131,6 +131,31 @@ def _upd_dir(block_dir: str, run_id: str, superstep: int) -> str:
     return os.path.join(block_dir, f"upd-{run_id}-{superstep}")
 
 
+def _apply_parts(block_dir: str) -> tuple:
+    """The non-empty state partitions — exactly the partitions the v6
+    build wrote an apply plan for. A driver-side listdir (p entries, zero
+    Spark jobs); replaces the init-scatter job's collect."""
+    out = []
+    for name in os.listdir(block_dir):
+        if name.startswith("apply-"):
+            try:
+                out.append(int(name.split("-", 1)[1]))
+            except ValueError:
+                pass
+    return tuple(sorted(out))
+
+
+def _loop_checkpoint_every(checkpointer, checkpoint_every: int, max_iters: int) -> int:
+    """Blob states are single-reference and p-rows small: without a
+    durable checkpointer there is nothing for the engine loop's periodic
+    parquet reset to protect (no Catalyst-stats compounding — each step
+    is one mapInPandas over a LogicalRDD; no resume point to write), so
+    disable it rather than pay ~6 parquet round trips per 31-superstep
+    bench run. With a checkpointer the cadence is the resume contract —
+    kept as declared."""
+    return checkpoint_every if checkpointer is not None else max_iters + 1
+
+
 def _publish_arr(upd_dir: str, name: str, arr: np.ndarray) -> None:
     """Atomically publish one update-stream member. Idempotent under task
     retry/speculation: content is deterministic, and a lost rename race
@@ -245,6 +270,7 @@ def pagerank_stream(
     chain: int = 1,
     init_ranks: DataFrame | None = None,
     sources: list[int] | None = None,
+    num_edges: int | None = None,
 ) -> RunResult:
     """PageRank over the fused streaming-partition superstep.
 
@@ -283,7 +309,7 @@ def pagerank_stream(
     """
     g = graph or CsrGraph(
         spark, edges, num_partitions=num_partitions, token=token,
-        weight_col=weight_col,
+        weight_col=weight_col, num_edges=num_edges,
     )
     if g.layout != "disk":
         raise ValueError("pagerank_stream requires the disk block layout")
@@ -307,11 +333,40 @@ def pagerank_stream(
             return 1.0 / n
         return np.isin(ids, src_arr).astype(np.float64) / len(src_arr)
 
+    def range_init_kernel_for(superstep: int):
+        ud = _upd_dir(block_dir, run_id, superstep)
+
+        def range_init_kernel(batches):
+            # Cold init (v6): blobs are derived straight from the apply
+            # plans' sorted id vectors over a shuffle-free spark.range(p)
+            # — no vertex rows cross the boundary at all (the plan IS the
+            # authoritative layout; runtime alignment stays checked by
+            # every apply/expand kernel). The initial scatter is FUSED in
+            # (publish the starting update stream here), so cold init is
+            # ONE job instead of init + scatter.
+            for pdf in batches:
+                for qv in pdf["id"].tolist():
+                    q = int(qv)
+                    plan = _load_apply_plan(token_, q, block_dir)
+                    if plan is None:
+                        continue
+                    ids = np.asarray(plan["ids"])
+                    if src_arr is not None:
+                        rank = np.asarray(_pref(ids))  # PPR: rank0 = pref
+                    else:
+                        rank = np.full(len(ids), 1.0 / n)
+                    blk = _load_disk_block(token_, q, block_dir)
+                    _scatter_publish(ud, q, blk, rank, np.asarray(plan["iod"]))
+                    yield pd.DataFrame({PART: [q], BLOB: [rank.tobytes()]})
+
+        return range_init_kernel
+
     def init_kernel(batches):
-        # Fresh init: blob = uniform 1/n, aligned to the apply plan's
-        # sorted id vector (strict-checked — the one chance to verify the
-        # row layout before ids stop crossing the boundary). A partition
-        # may arrive as several Arrow batches — concat before blob-ifying.
+        # Warm init (init_ranks): prior ranks ride the seed rows, aligned
+        # to the apply plan's sorted id vector (strict-checked — the one
+        # chance to verify the row layout before ids stop crossing the
+        # boundary). A partition may arrive as several Arrow batches —
+        # concat before blob-ifying.
         from pyspark import TaskContext
 
         pdfs = [pdf for pdf in batches if len(pdf)]
@@ -414,35 +469,45 @@ def pagerank_stream(
             state = realign(checkpointer.load(spark, manifest))
 
     with superstep_conf(spark, p):
-        if state is None:
-            seed = g.verts
-            if init_ranks is not None:
+        # The exact set of non-empty state partitions: exactly the vertex
+        # partitions the build wrote an apply plan for (a blob row exists
+        # iff the partition has vertices). The strict stats fold
+        # (_dangling_mass/_read_delta) checks precisely these files each
+        # superstep, so a publish/barrier failure raises instead of
+        # folding a silently-wrong dangling mass or delta.
+        qs = _apply_parts(block_dir)
+        if state is None and init_ranks is None:
+            # ONE fused init+scatter job (see range_init_kernel_for).
+            state = spark.range(0, p, 1, p).mapInPandas(
+                range_init_kernel_for(start), schema=_STATE_SCHEMA
+            ).localCheckpoint(eager=True)
+            if sp != p:
+                state = materialize(state.repartition(sp))
+        else:
+            if state is None:
                 pri = init_ranks.select(
                     F.col(ID), F.col("rank").cast("double").alias("_prank")
                 )
-                seed = seed.join(pri, ID, "left")
-            state = g.align_state(seed).mapInPandas(
-                init_kernel, schema=_STATE_SCHEMA
-            ).localCheckpoint(eager=True)
-        else:
-            state = state.select(PART, BLOB).localCheckpoint(eager=True)
-        if sp != p:
-            # Lazy checkpoint: the scatter job below is the action that
-            # materializes the repacked layout.
-            state = materialize(state.repartition(sp))
-        # Publish the update stream of the starting state (derived state:
-        # regenerated rather than checkpointed — it also carries the
-        # dangling mass). One tiny job, init/resume only — steady-state
-        # supersteps publish inside the fused stage.
-        rows = state.mapInPandas(
-            scatter_kernel_for(start), schema=f"{PART} int, n long"
-        ).collect()
-        assert sum(r["n"] for r in rows) == n
-        # The exact set of non-empty state partitions, recorded once: the
-        # strict stats fold (_dangling_mass/_read_delta) checks precisely
-        # these files each superstep, so a publish/barrier failure raises
-        # instead of folding a silently-wrong dangling mass or delta.
-        qs = tuple(sorted(int(r[PART]) for r in rows))
+                seed = g.verts.join(pri, ID, "left")
+                state = g.align_state(seed).mapInPandas(
+                    init_kernel, schema=_STATE_SCHEMA
+                ).localCheckpoint(eager=True)
+            else:
+                state = state.select(PART, BLOB).localCheckpoint(eager=True)
+            if sp != p:
+                # Lazy checkpoint: the scatter job below is the action
+                # that materializes the repacked layout.
+                state = materialize(state.repartition(sp))
+            # Publish the update stream of the starting state (derived
+            # state: regenerated rather than checkpointed — it also
+            # carries the dangling mass). One tiny job, warm-init/resume
+            # only — steady-state supersteps publish inside the fused
+            # stage.
+            rows = state.mapInPandas(
+                scatter_kernel_for(start), schema=f"{PART} int, n long"
+            ).collect()
+            assert sum(r["n"] for r in rows) == n
+            assert tuple(sorted(int(r[PART]) for r in rows)) == qs
 
         try:
             fk = lambda s: fused_kernel_for(s, qs)  # noqa: E731
@@ -452,7 +517,8 @@ def pagerank_stream(
             if chain == 1:
                 result = _run_unchained(
                     state, fk, max_iters, checkpointer,
-                    checkpoint_every, start, realign, tol, read_delta,
+                    _loop_checkpoint_every(checkpointer, checkpoint_every, max_iters),
+                    start, realign, tol, read_delta,
                     lambda s: _upd_cleanup(block_dir, run_id, s),
                 )
             else:

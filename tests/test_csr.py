@@ -142,8 +142,12 @@ def test_disk_blocks_rebuilt_on_changed_edges(spark, tmp_path, monkeypatch):
     e1 = spark.createDataFrame(g1_chain())
     g_old = csr_mod.CsrGraph(spark, e1, num_partitions=4, token="pinned")
     marker = os.path.join(g_old.block_dir, "_BUILT")
+
+    def marker_text(g):
+        return f"v6:{g.num_edges}:{g.num_vertices}:4:{g.edge_fp:x}"
+
     with open(marker) as f:
-        assert f.read() == f"v5:{g_old.num_edges}:4:{g_old.edge_fp:x}"
+        assert f.read() == marker_text(g_old)
 
     # Same |E|, different edges (reversed chain): count-only markers pass
     # this; the content fingerprint must not.
@@ -154,7 +158,7 @@ def test_disk_blocks_rebuilt_on_changed_edges(spark, tmp_path, monkeypatch):
     assert g_rev.num_edges == g_old.num_edges
     assert g_rev.edge_fp != g_old.edge_fp
     with open(marker) as f:
-        assert f.read() == f"v5:{g_rev.num_edges}:4:{g_rev.edge_fp:x}"
+        assert f.read() == marker_text(g_rev)
 
     # "Regenerated" data at the same token: a superset graph whose old src
     # ids are a subset of the new vertex set (the silent-wrong-graph case).
@@ -162,7 +166,7 @@ def test_disk_blocks_rebuilt_on_changed_edges(spark, tmp_path, monkeypatch):
     g_new = csr_mod.CsrGraph(spark, e2, num_partitions=4, token="pinned")
     assert g_new.num_edges != g_old.num_edges
     with open(marker) as f:
-        assert f.read() == f"v5:{g_new.num_edges}:4:{g_new.edge_fp:x}"
+        assert f.read() == marker_text(g_new)
     # and the rebuilt blocks drive a correct run on the NEW graph
     res = csr_mod.cc_csr(spark, e2, num_partitions=4, token="pinned")
     labels = {r["id"]: r["label"] for r in res.state.collect()}
