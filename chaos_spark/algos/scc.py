@@ -74,7 +74,10 @@ def strongly_connected_components(
                 spark, edges, max_iters=2 * max_iters,
                 num_partitions=num_partitions,
             )
-    p = num_partitions or choose_num_partitions(spark, edges.count() * 2)
+        num_edges = ne  # routing already scanned the plan — reuse below
+    p = num_partitions or choose_num_partitions(
+        spark, (num_edges if num_edges is not None else edges.count()) * 2
+    )
     with superstep_conf(spark, p):
         return _scc(spark, edges, max_rounds, max_iters, p)
 

@@ -2283,67 +2283,61 @@ def _er_oracle_sql() -> str:
     return er_sql(**_ER_Q)
 
 
+# Registry ORDER is part of the official-record contract (r5 VERDICT
+# What's-missing #1): the round driver records the FIRST 50 registry
+# entries, and r5's window was crowded with path-variant twins (PageRank
+# alone held 11 of the 50 slots) while MCST / HyperANF / ALS / BP and the
+# whole textops/ANN/media family fell outside it. r6 reorder: ONE
+# canonical query per operator family occupies the first 50 slots
+# (every §2.2 algorithm, every §2.3 source, every §8.4 pipeline operator
+# incl. minhash→dedup_lsh_cc and media_meta); the forced-path twins and
+# the documented rows-only variants sit at the back. Order-only change —
+# all 70 queries and their oracle SQL are untouched.
 QUERIES = {
+    # §2.3 sources + degree pre-pass
     "out_degree": q_out_degree,
     "in_degree": q_in_degree,
+    # §2.2 algorithm suite — one canonical query per algorithm/variant
     "pagerank_k5": q_pagerank_k5,
-    "pagerank_csr_k5": q_pagerank_csr_k5,
-    "pagerank_stream_k5": q_pagerank_stream_k5,
-    "pagerank_resume_k5": q_pagerank_resume_k5,
+    "pagerank_w_k5": q_pagerank_w_k5,
     "ppr_k5": q_ppr_k5,
-    "ppr_stream_k5": q_ppr_stream_k5,
+    "pagerank_warm_k5": q_pagerank_warm_k5,
+    "pagerank_resume_k5": q_pagerank_resume_k5,
     "cc_k6": q_cc_k6,
     "cc_warm_k6": q_cc_warm_k6,
-    "cc_csr_k6": q_cc_csr_k,
-    "cc_stream_k6": q_cc_stream_k6,
     "lpa_k3": q_lpa_k3,
-    "lpa_csr_k3": q_lpa_csr_k3,
-    "lpa_stream_k3": q_lpa_stream_k3,
+    "triangle_count": q_triangle_count,
+    "triangles_per_vertex": q_triangles_per_vertex,
+    "triangle_stream": q_triangle_stream,
+    "bfs_k4": q_bfs_k4,
     "sssp_k5": q_sssp_k5,
-    "sssp_stream_k5": q_sssp_stream_k5,
-    "pagerank_w_k5": q_pagerank_w_k5,
-    "pagerank_w_csr_k5": q_pagerank_w_csr_k5,
-    "pagerank_w_stream_k5": q_pagerank_w_stream_k5,
+    "spmv_acctbal": q_spmv_acctbal,
+    "conductance": q_conductance,
+    "mis_r4": q_mis_r4,
+    "kcore3": q_kcore3,
+    "scc": q_scc,
+    "bipartite_k6": q_bipartite_k6,
+    "hyperanf_k3": q_hyperanf_k3,
+    "hyperanf_stream_k3": q_hyperanf_stream_k3,
+    "msf": q_msf,
+    "als_r1": q_als_r1,
+    "bp_k2": q_bp_k2,
+    # §2.3 generators + ingest
     "rmat_edges": q_rmat_edges,
+    "er_edges": q_er_edges,
+    "import_graph_edges": q_import_graph_edges,
+    "import_graph_stream": q_import_graph_stream,
+    # walk-corpus family
     "random_walks_l4": q_random_walks_l4,
     "random_walks_l3_w2": q_random_walks_l3_w2,
     "random_walks_w_l3": q_random_walks_w_l3,
     "node2vec_l3": q_node2vec_l3,
-    "er_edges": q_er_edges,
-    "triangle_count": q_triangle_count,
-    "triangle_stream": q_triangle_stream,
-    "triangles_per_vertex": q_triangles_per_vertex,
-    "bfs_k4": q_bfs_k4,
-    "bfs_stream_k4": q_bfs_stream_k4,
-    "kcore3": q_kcore3,
-    "kcore3_stream": q_kcore3_stream,
-    "spmv_acctbal": q_spmv_acctbal,
-    "conductance": q_conductance,
+    # §8.4 LLM-data-pipeline operators
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_dist": q_lang_dist,
     "ann_topk": q_ann_topk,
-    "pagerank_converged": q_pagerank_converged,
-    "pagerank_warm_k5": q_pagerank_warm_k5,
-    "import_graph_edges": q_import_graph_edges,
-    "import_graph_stream": q_import_graph_stream,
-    # stretch graph algorithms
-    "mis_r4": q_mis_r4,
-    "mis_stream_r4": q_mis_stream_r4,
-    "bipartite_k6": q_bipartite_k6,
-    "bipartite_stream_k6": q_bipartite_stream_k6,
-    "scc": q_scc,
-    "scc_stream": q_scc_stream,
-    "msf": q_msf,
-    "hyperanf": q_hyperanf,
-    "hyperanf_k3": q_hyperanf_k3,
-    "hyperanf_stream_k3": q_hyperanf_stream_k3,
-    "als_sweeps": q_als_sweeps,
-    "bp_beliefs": q_bp_beliefs,
-    "als_r1": q_als_r1,
-    "bp_k2": q_bp_k2,
-    # text-curation / training-data pipeline
     "minhash_sigs": q_minhash_sigs,
     "lsh_near_dup": q_lsh_near_dup,
     "lsh_jaccard": q_lsh_jaccard,
@@ -2353,9 +2347,31 @@ QUERIES = {
     "near_dup_embeddings": q_near_dup_embeddings,
     "near_dup_emb_lsh": q_near_dup_emb_lsh,
     "ann_lsh": q_ann_lsh,
-    "media_features": q_media_features,
     "media_meta": q_media_meta,
     "dedup_lsh_cc": q_dedup_lsh_cc,
+    # ---- position 51+: forced-path twins (each value-verified against
+    # the SAME oracle as its canonical sibling) and the documented
+    # rows-only variants ----
+    "pagerank_csr_k5": q_pagerank_csr_k5,
+    "pagerank_stream_k5": q_pagerank_stream_k5,
+    "ppr_stream_k5": q_ppr_stream_k5,
+    "pagerank_w_csr_k5": q_pagerank_w_csr_k5,
+    "pagerank_w_stream_k5": q_pagerank_w_stream_k5,
+    "cc_csr_k6": q_cc_csr_k,
+    "cc_stream_k6": q_cc_stream_k6,
+    "lpa_csr_k3": q_lpa_csr_k3,
+    "lpa_stream_k3": q_lpa_stream_k3,
+    "sssp_stream_k5": q_sssp_stream_k5,
+    "bfs_stream_k4": q_bfs_stream_k4,
+    "kcore3_stream": q_kcore3_stream,
+    "mis_stream_r4": q_mis_stream_r4,
+    "bipartite_stream_k6": q_bipartite_stream_k6,
+    "scc_stream": q_scc_stream,
+    "pagerank_converged": q_pagerank_converged,
+    "hyperanf": q_hyperanf,
+    "als_sweeps": q_als_sweeps,
+    "bp_beliefs": q_bp_beliefs,
+    "media_features": q_media_features,
 }
 
 ORACLES = {

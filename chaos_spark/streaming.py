@@ -269,6 +269,11 @@ def read_edges(spark: SparkSession, work_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CEDGES, _TRI = "cedges", "tri"
+# Broadcast ceiling for the incremental-triangle delta: ~2M canonical
+# edge pairs ≈ 32 MB framed — comfortably under the 8 GB / 512M-row hard
+# cap and the driver+executor copies it costs, while every realistically
+# sized micro-batch stays on the fast broadcast plan. Env-tunable.
+_TRI_BCAST_MAX_ROWS = int(os.environ.get("CHAOS_TRI_BCAST_MAX_ROWS", 2_000_000))
 
 
 @dataclass
@@ -334,7 +339,16 @@ def _triangle_batch(batch_df: DataFrame, batch_id: int, work_dir: str) -> dict:
         spark, cedges_dir, batch_id, "a long, b long"
     ).select("a", "b")
     d0 = canon_new.join(cold, ["a", "b"], "left_anti").localCheckpoint(eager=True)
-    d = F.broadcast(d0)
+    # ADVICE r5 (medium): with max_files_per_trigger unset the FIRST
+    # micro-batch is the whole source table, so unconditionally
+    # broadcasting the delta (and the wedge set derived from it) drives
+    # straight into Spark's 8 GB / 512M-row broadcast cap on exactly the
+    # scale path this lane advertises. Gate the hints on the delta's
+    # (cached, cheap-to-count) row count; past the gate the joins fall
+    # back to ordinary shuffle joins — same results, bounded memory.
+    d0_rows = d0.count()
+    small_delta = d0_rows <= _TRI_BCAST_MAX_ROWS
+    d = F.broadcast(d0) if small_delta else d0
 
     sym_old = cold.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
         cold.select(F.col("b").alias("x"), F.col("a").alias("y"))
@@ -353,10 +367,15 @@ def _triangle_batch(batch_df: DataFrame, batch_id: int, work_dir: str) -> dict:
     )
     w1 = sym_d.select(F.col("x"), F.col("y").alias("y1"))
     w2 = sym_d.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
-    wedges = F.broadcast(
+    wedges = (
         w1.join(w2, (F.col("x") == F.col("x2")) & (F.col("y1") < F.col("y2")))
         .select(F.col("y1").alias("a"), F.col("y2").alias("b"))
     )
+    # The wedge set is |D|-quadratic per apex — broadcast it only for
+    # small deltas (same gate as d; a hub-heavy big delta would blow the
+    # wedge broadcast long before d itself did).
+    if small_delta:
+        wedges = F.broadcast(wedges)
     t2 = wedges.join(cold, ["a", "b"]).count()
     # t3: canonical triple join inside D.
     e1 = d.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -370,7 +389,7 @@ def _triangle_batch(batch_df: DataFrame, batch_id: int, work_dir: str) -> dict:
 
     d0.write.mode("overwrite").parquet(_part_dir(cedges_dir, batch_id))
     rec = {
-        "batch_id": batch_id, "new_edges": d0.count(),
+        "batch_id": batch_id, "new_edges": d0_rows,
         "t1": t1, "t2": t2, "t3": t3, "delta": t1 + t2 + t3,
     }
     spark.createDataFrame(
