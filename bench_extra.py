@@ -203,10 +203,87 @@ def run_micro(spark, sf_dir: str) -> None:
     print(json.dumps(out, indent=1))
 
 
+def run_scale(cpus: int = 8, edges: int = 64_000_000, scale: int = 22) -> None:
+    """64M-edge validation of the v6 build + stream kernels (the
+    'optimizations must hold at both sizes' record): time the v6 block
+    build cold, run fixed-superstep stream PageRank + CC + LPA, and
+    value-check CC stream labels against the join path (diff must be 0).
+    Same engine pinning as the scaling protocol (AQE off, tmpfs
+    local dirs, generous worker block cache)."""
+    os.environ.setdefault("CHAOS_AQE", "off")
+    os.environ.setdefault("CHAOS_CSR_BLOCK_DIR", "/dev/shm/chaos_csr_blocks")
+    os.environ.setdefault(
+        "CHAOS_BLOCK_CACHE_BYTES", str(1536 * 1024 * 1024)
+    )
+    from bench import _ensure_bench_graph, _host_busy_check
+
+    path = _ensure_bench_graph(scale, edges)
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = _session(cpus)
+    out = {"cpus": cpus, "edges": edges, "host": _host_busy_check()}
+    e = spark.read.parquet(path)
+    from chaos_spark.csr import CsrGraph
+    from chaos_spark.stream import pagerank_stream
+    from chaos_spark.stream_algos import _HashMinCC, cc_stream, lpa_stream
+
+    shuffle = cpus * 4
+    spark.sparkContext.setJobDescription("scale: v6 directed build")
+    t0 = time.time()
+    g = CsrGraph(spark, e, num_partitions=shuffle, token="r6-scale-dir",
+                 num_edges=edges)
+    out["build_directed_sec"] = round(time.time() - t0, 3)
+    out["num_edges_dedup"] = g.num_edges
+    out["num_vertices"] = g.num_vertices
+    spark.sparkContext.setJobDescription("scale: pagerank_stream 10 steps")
+    t0 = time.time()
+    r = pagerank_stream(spark, e, tol=0.0, max_iters=10, graph=g)
+    out["pagerank_stream_wall"] = round(time.time() - t0, 3)
+    out["pagerank_per_superstep"] = [h["seconds"] for h in r.history]
+    spark.sparkContext.setJobDescription("scale: v6 undirected build")
+    t0 = time.time()
+    g2 = _HashMinCC().prep_graph(spark, e, shuffle, "r6-scale-und")
+    out["build_undirected_sec"] = round(time.time() - t0, 3)
+    spark.sparkContext.setJobDescription("scale: cc_stream")
+    t0 = time.time()
+    rc = cc_stream(spark, e, max_iters=100, graph=g2)
+    out["cc_stream_wall"] = round(time.time() - t0, 3)
+    out["cc_per_superstep"] = [h["seconds"] for h in rc.history]
+    spark.sparkContext.setJobDescription("scale: lpa_stream 5")
+    t0 = time.time()
+    rl = lpa_stream(spark, e, max_iters=5, graph=g2)
+    out["lpa_stream_wall"] = round(time.time() - t0, 3)
+    out["lpa_per_superstep"] = [h["seconds"] for h in rl.history]
+    # Value check at scale: CC join-path labels vs the stream labels
+    # over v6 blocks — exact integer fixed point, diff must be 0.
+    from chaos_spark.algos import connected_components
+
+    spark.sparkContext.setJobDescription("scale: cc join reference")
+    t0 = time.time()
+    rj = connected_components(spark, e, max_iters=100, num_edges=edges,
+                              mode="join")
+    out["cc_join_wall"] = round(time.time() - t0, 3)
+    a = rc.state.selectExpr("id", "label AS l1")
+    b = rj.state.selectExpr("id AS id2", "label AS l2")
+    diff = (
+        a.join(b, a["id"] == b["id2"], "full")
+        .where("l1 IS DISTINCT FROM l2").count()
+    )
+    out["cc_label_diff"] = diff
+    print(json.dumps(out, indent=1))
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "r6_scale_64m.json")
+    with open(p, "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=[
-        "plans", "iterplans", "build-prof", "stream-iter", "micro"])
+        "plans", "iterplans", "build-prof", "stream-iter", "micro", "scale"])
     ap.add_argument("--tag", default="before")
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR",
@@ -225,6 +302,8 @@ def main() -> None:
         run_stream_iter(spark, args.sf_dir)
     elif args.mode == "micro":
         run_micro(spark, args.sf_dir)
+    elif args.mode == "scale":
+        run_scale(cpus=8)
 
 
 if __name__ == "__main__":

@@ -85,14 +85,27 @@ def minhash_signatures(
     num_perms: int = NUM_PERMS,
 ) -> DataFrame:
     """Long-form signatures ``(doc_id, perm, minhash)`` — num_perms rows per
-    doc, each the min over shingles of a permuted 32-bit hash."""
-    sh = word_shingles(F.col(text_col))
-    hs = F.transform(sh, lambda s: h32(s))
+    doc, each the min over shingles of a permuted 32-bit hash.
+
+    r6: the hashed-shingle array is PROJECTED ONCE (``_hs``) and the 16
+    permutation mins read that column — previously each of the 16 min
+    columns re-inlined the whole shingle+md5 transform chain, so every
+    shingle was tokenized and md5-hashed 16x per row and the expression
+    tree was 16x larger (codegen blowup): measured 13.8 s -> 0.4 s for
+    the Spark side of minhash_sigs at sf0.01. CollapseProject keeps the
+    two projections separate because ``_hs`` is non-cheap and referenced
+    more than once, so the single evaluation survives optimization."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(word_shingles(F.col(text_col)), lambda s: h32(s)).alias("_hs"),
+    )
     cols = [
-        F.array_min(F.transform(hs, lambda h: perm(h, k))).alias(f"_m{k}")
+        F.array_min(
+            F.transform(F.col("_hs"), lambda h: perm(h, k))
+        ).alias(f"_m{k}")
         for k in range(num_perms)
     ]
-    wide = docs.select(F.col(id_col).alias("doc_id"), *cols)
+    wide = hashed.select("doc_id", *cols)
     pairs = F.array(*[
         F.struct(F.lit(k).alias("perm"), F.col(f"_m{k}").alias("minhash"))
         for k in range(num_perms)
@@ -207,13 +220,19 @@ def fingerprints(
     8-grams of the doc prefix, one row per permutation
     ``(doc_id, perm, fp)`` — robust to small edits anywhere past the
     changed window, the classic rolling-hash fingerprint."""
-    sh = char_shingles(text_col)
-    hs = F.transform(sh, lambda s: h32(s))
+    # Same single-evaluation shape as minhash_signatures (r6): hash the
+    # char-shingle array once, then take the per-permutation mins.
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(char_shingles(text_col), lambda s: h32(s)).alias("_hs"),
+    )
     cols = [
-        F.array_min(F.transform(hs, lambda h: perm(h, k))).alias(f"_f{k}")
+        F.array_min(
+            F.transform(F.col("_hs"), lambda h: perm(h, k))
+        ).alias(f"_f{k}")
         for k in range(num_perms)
     ]
-    wide = docs.select(F.col(id_col).alias("doc_id"), *cols)
+    wide = hashed.select("doc_id", *cols)
     pairs = F.array(*[
         F.struct(F.lit(k).alias("perm"), F.col(f"_f{k}").alias("fp"))
         for k in range(num_perms)
