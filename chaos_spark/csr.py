@@ -263,8 +263,9 @@ def _auto_route(
     warm_key: tuple | None = None,
 ) -> tuple[str, int | None]:
     """Shared auto-mode router: ``("join", |E|)`` below the crossover,
-    ``("stream", None)`` at scale, ``("csr", None)`` when the caller pins
-    the classic kernel. The scale default moved from the classic CSR
+    ``("stream", <known |E| or None>)`` at scale (the dispatch count is
+    threaded to the stream build so it is never re-scanned),
+    ``("csr", None)`` when the caller pins the classic kernel. The scale default moved from the classic CSR
     kernel to the fused slipstore stream path in round 5 on measured
     evidence: 5.8–8.4× faster per superstep on the 64M-edge bench graph
     (local[16] 2.79 s → 0.48 s) and 455M edges/s sustained at 512M edges
@@ -284,7 +285,7 @@ def _auto_route(
     ``min_edges`` (measured: CC at sf0.1 join 4.4 s vs stream
     warm-blocks 2.1 s, BENCH/sf01_path_ab.json)."""
     if mode == "stream":
-        return "stream", None
+        return "stream", num_edges
     if mode == "csr" or token is not None or layout is not None or packed:
         return "csr", None
     if mode != "auto":
@@ -294,9 +295,9 @@ def _auto_route(
     ne = num_edges if num_edges is not None else edges.count()
     if ne < min_edges:
         if _warm_blocks_ready(warm_key) is not None:
-            return "stream", None
+            return "stream", ne
         return "join", ne
-    return "stream", None
+    return "stream", ne
 
 
 _BLOCK_MEMBERS = ("ids", "pos", "du", "di", "starts", "boff", "w")
@@ -1043,6 +1044,7 @@ def pagerank_csr(
             num_partitions=num_partitions, token=token,
             weight_col=weight_col, checkpointer=checkpointer,
             checkpoint_every=checkpoint_every, init_ranks=init_ranks,
+            num_edges=ne,
         )
     if weight_col is not None:
         from .algos.pagerank import _validate_weights

@@ -208,7 +208,7 @@ def test_auto_route_three_way():
     lo, hi = csr_mod.CSR_AUTO_MIN_EDGES - 1, csr_mod.CSR_AUTO_MIN_EDGES
     route = csr_mod._auto_route
     assert route(None, "auto", lo, None, None) == ("join", lo)
-    assert route(None, "auto", hi, None, None) == ("stream", None)
+    assert route(None, "auto", hi, None, None) == ("stream", hi)
     # per-algorithm crossover: the many-superstep algorithms (pagerank,
     # lpa) pass min_edges=STREAM_AUTO_MIN_EDGES (100k, measured in
     # scripts/sf01_path_ab.py); CC keeps the conservative default.
@@ -218,15 +218,15 @@ def test_auto_route_three_way():
     assert route(None, "auto", s_lo, None, None,
                  min_edges=s_hi) == ("join", s_lo)
     assert route(None, "auto", s_hi, None, None,
-                 min_edges=s_hi) == ("stream", None)
+                 min_edges=s_hi) == ("stream", s_hi)
     # ... and a size between the two crossovers routes join for CC but
     # stream for pagerank/lpa
     mid = (s_hi + csr_mod.CSR_AUTO_MIN_EDGES) // 2
     assert route(None, "auto", mid, None, None) == ("join", mid)
     assert route(None, "auto", mid, None, None,
-                 min_edges=s_hi) == ("stream", None)
+                 min_edges=s_hi) == ("stream", mid)
     assert route(None, "csr", lo, None, None) == ("csr", None)
-    assert route(None, "stream", lo, "tok", None) == ("stream", None)
+    assert route(None, "stream", lo, "tok", None) == ("stream", lo)
     # explicit classic-kernel knobs pin the kernel even in auto mode
     assert route(None, "auto", hi, "tok", None) == ("csr", None)
     assert route(None, "auto", hi, None, "disk") == ("csr", None)
@@ -299,7 +299,7 @@ def test_warm_block_registry_reuse_and_reroute(spark, monkeypatch):
     # ...but with warm blocks the probe flips it to stream.
     assert csr_mod._auto_route(
         edges, "auto", 12, None, None, warm_key=k_und
-    ) == ("stream", None)
+    ) == ("stream", 12)
 
     cc_a = dict(cc_csr(spark, edges).state.select("id", "label").collect())
     cc_b = dict(
